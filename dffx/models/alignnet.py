@@ -1,0 +1,183 @@
+"""AlignNet — coarse-to-fine per-slice global-motion estimation and warping.
+
+Rebuilds the reference ``FlowNetwork`` + end-to-end ``Network``
+(`End_to_End/End_to_End.py:8-145`): a shared per-slice 2D feature pyramid, a
+three-scale regression of per-slice motion ``(alpha FOV-correction, beta tx,
+gamma ty)`` with residual accumulation, and a final warp of the raw stack.
+
+The reference routes the warp through 3D ``grid_sample``; because the z-grid is
+identity and the per-slice map is an axis-separable affine, the TPU-native warp
+is two per-slice interpolation matmuls (``dffx.ops.affine_warp_stack``) —
+exactly equal numerics, MXU-resident, differentiable end-to-end.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dffx.ops import adaptive_avg_pool_focus, affine_warp_stack
+from dffx.models.layers import (
+    Ctx,
+    SpecTable,
+    apply_conv,
+    apply_convbn,
+    bn_spec,
+    conv_spec,
+    convbn_spec,
+    relu,
+)
+from dffx.models.dffnet import dffnet_apply, dffnet_specs
+
+ALPHA_DAMPING = 0.001  # `End_to_End.py:79,:88,:99`
+N_MOTION = 10  # AdaptiveAvgPool3d((10,1,1)) — motion vectors per stack (`:40`)
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+def _rb_of_specs(s: SpecTable, pfx: str, cin: int, cout: int) -> None:
+    """resnet_block_2d_OF (`End_to_End.py:135-145`): projection-shortcut
+    residual block.  Lives outside the reference's MSRA init loop, so torch
+    default init applies."""
+    convbn_spec(s, f"{pfx}.conv.0", cin, cout, (1, 3, 3), kind="conv_default")
+    convbn_spec(s, f"{pfx}.conv.2", cout, cout, (1, 3, 3), kind="conv_default")
+    conv_spec(s, f"{pfx}.feature", cin, cout, (1, 1, 1), kind="conv_default")
+
+
+def _rb_of_apply(p, pfx, x, ctx: Ctx, *, stride: int = 1) -> jax.Array:
+    st = (1, stride, stride)
+    y = relu(apply_convbn(p, f"{pfx}.conv.0", x, ctx, stride=st, padding=(0, 1, 1)))
+    y = apply_convbn(p, f"{pfx}.conv.2", y, ctx, padding=(0, 1, 1))
+    short = apply_conv(p, f"{pfx}.feature", x, ctx, stride=st)
+    return relu(short + y)
+
+
+def _head_specs(s: SpecTable, pfx: str, c: int) -> None:
+    """Motion-regression head convN (`End_to_End.py:33-61`): 3x convbn(1,3,3)
+    + ReLU, then a biased (1,3,3) conv to 3 channels + adaptive pooling."""
+    convbn_spec(s, f"{pfx}.0", c + 2, c, (1, 3, 3), kind="conv_default")
+    convbn_spec(s, f"{pfx}.2", c, c, (1, 3, 3), kind="conv_default")
+    convbn_spec(s, f"{pfx}.4", c, c, (1, 3, 3), kind="conv_default")
+    conv_spec(s, f"{pfx}.6", c, 3, (1, 3, 3), bias=True, kind="conv_default")
+
+
+def _head_apply(p, pfx, volume, ctx: Ctx) -> jax.Array:
+    """Returns per-slice motion ``(B, N_MOTION, 3)`` (alpha, beta, gamma)."""
+    y = relu(apply_convbn(p, f"{pfx}.0", volume, ctx, padding=(0, 1, 1)))
+    y = relu(apply_convbn(p, f"{pfx}.2", y, ctx, padding=(0, 1, 1)))
+    y = relu(apply_convbn(p, f"{pfx}.4", y, ctx, padding=(0, 1, 1)))
+    y = apply_conv(p, f"{pfx}.6", y, ctx, padding=(0, 1, 1))  # (B,N,H,W,3)
+    pooled = adaptive_avg_pool_focus(y, N_MOTION)  # (B,10,1,1,3)
+    return pooled[:, :, 0, 0, :]
+
+
+def _motion_volume(feat: jax.Array, flow: jax.Array) -> jax.Array:
+    """(last-slice features || per-slice features || flow) channel concat
+    (`End_to_End.py:71-76`)."""
+    last = jnp.broadcast_to(feat[:, -1:], feat.shape)
+    return jnp.concatenate([last, feat, flow], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# FlowNetwork
+# ---------------------------------------------------------------------------
+
+
+def flownet_specs(prefix: str = "optical_flow_aggregation", inplanes: int = 8) -> SpecTable:
+    s: SpecTable = {}
+    q = lambda n: f"{prefix}.{n}"  # noqa: E731
+    _rb_of_specs(s, q("OF_feature.0"), 3, inplanes)
+    _rb_of_specs(s, q("OF_feature.1"), inplanes, inplanes)
+    _rb_of_specs(s, q("OF_feature1.0"), inplanes, 2 * inplanes)
+    _rb_of_specs(s, q("OF_feature1.1"), 2 * inplanes, 2 * inplanes)
+    _rb_of_specs(s, q("OF_feature2.0"), 2 * inplanes, 4 * inplanes)
+    _rb_of_specs(s, q("OF_feature2.1"), 4 * inplanes, 4 * inplanes)
+    _head_specs(s, q("conv1"), 8 * inplanes)
+    _head_specs(s, q("conv2"), 4 * inplanes)
+    _head_specs(s, q("conv3"), 2 * inplanes)
+    return s
+
+
+def flownet_apply(
+    p: Dict[str, jax.Array],
+    fs: jax.Array,
+    fovs: jax.Array,
+    ctx: Optional[Ctx] = None,
+    prefix: str = "optical_flow_aggregation",
+) -> Tuple[jax.Array, jax.Array]:
+    """Align a focal stack (`End_to_End.py:63-104`).
+
+    Args:
+      fs:   ``(B, N, H, W, 3)`` raw stack.
+      fovs: ``(B, N)`` relative per-slice field-of-view factors.
+
+    Returns:
+      ``(warped_fs, motion)`` where motion is ``(B, N, 3)`` accumulated
+      (alpha, beta, gamma).
+    """
+    ctx = ctx or Ctx()
+    q = lambda n: f"{prefix}.{n}"  # noqa: E731
+    b, n = fs.shape[0], fs.shape[1]
+
+    fe1 = _rb_of_apply(p, q("OF_feature.1"), _rb_of_apply(p, q("OF_feature.0"), fs, ctx), ctx)
+    fe2 = _rb_of_apply(
+        p, q("OF_feature1.1"), _rb_of_apply(p, q("OF_feature1.0"), fe1, ctx, stride=2), ctx
+    )
+    fe3 = _rb_of_apply(
+        p, q("OF_feature2.1"), _rb_of_apply(p, q("OF_feature2.0"), fe2, ctx, stride=2), ctx
+    )
+
+    zeros = jnp.zeros((b, n), dtype=jnp.float32)
+    fe3_w, flow = affine_warp_stack(fe3, fovs, zeros, zeros)
+    motion = _head_apply(p, q("conv1"), _motion_volume(fe3_w, flow), ctx)
+    motion = motion.at[:, :, 0].multiply(ALPHA_DAMPING)
+
+    fe2_w, flow = affine_warp_stack(
+        fe2, motion[:, :, 0] + fovs, motion[:, :, 1], motion[:, :, 2]
+    )
+    delta = _head_apply(p, q("conv2"), _motion_volume(fe2_w, flow), ctx)
+    delta = delta.at[:, :, 0].multiply(ALPHA_DAMPING)
+    motion = motion + delta
+
+    fe1_w, flow = affine_warp_stack(
+        fe1, motion[:, :, 0] + fovs, motion[:, :, 1], motion[:, :, 2]
+    )
+    delta = _head_apply(p, q("conv3"), _motion_volume(fe1_w, flow), ctx)
+    delta = delta.at[:, :, 0].multiply(ALPHA_DAMPING)
+    motion = motion + delta
+
+    warped, _ = affine_warp_stack(
+        fs, motion[:, :, 0] + fovs, motion[:, :, 1], motion[:, :, 2]
+    )
+    return warped, motion
+
+
+# ---------------------------------------------------------------------------
+# End-to-end network (alignment + depth)
+# ---------------------------------------------------------------------------
+
+
+def e2e_network_specs() -> SpecTable:
+    s = dffnet_specs("DFF_net")
+    s.update(flownet_specs("optical_flow_aggregation"))
+    return s
+
+
+def e2e_apply(
+    p: Dict[str, jax.Array],
+    fs: jax.Array,
+    focus_dists: jax.Array,
+    fovs: jax.Array,
+    ctx: Optional[Ctx] = None,
+):
+    """End-to-end forward (`End_to_End.py:14-17`, DFF variant returning the
+    warped stack `:259`): ``(mid_out, pred1, pred2, pred3, warped_fs)``."""
+    ctx = ctx or Ctx()
+    warped, _ = flownet_apply(p, fs, fovs, ctx)
+    outs = dffnet_apply(p, warped, focus_dists, ctx)
+    return (*outs, warped)

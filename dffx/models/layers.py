@@ -1,0 +1,254 @@
+"""Shared building blocks: parameter specs, init, and apply helpers.
+
+Conventions
+-----------
+* Activations are ``(B, N, H, W, C)``; parameters live in one flat dict whose
+  keys equal the reference torch ``state_dict`` keys (values are stored in
+  TPU-friendly layouts: conv kernels ``(kd, kh, kw, Cin, Cout)``).
+* Each reference block has a ``*_specs`` function that registers its parameter
+  shapes/initializers into a spec table, and an ``*_apply`` function with the
+  forward math.  The two mirror the reference constructors/forwards
+  (`Depth_Estimation_Test/Depth_Estimation_Network.py`) one-to-one so the key
+  namespace matches mechanically.
+* ``Ctx`` threads train/eval mode, the updated-BN-statistics accumulator, an
+  optional mesh axis for sync-BN, and the XLA precision knob through the
+  forward functions — everything stays a pure function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dffx.ops import batch_norm, batch_norm_train, conv3d, deconv3d, max_pool3d
+
+# ---------------------------------------------------------------------------
+# Parameter specs + initialization
+# ---------------------------------------------------------------------------
+
+#: spec entry: (kind, shape) where kind selects the init distribution
+#:   'conv_msra'    Conv3d inside DFF_net: N(0, sqrt(2 / (prod(k) * cout)))
+#:                  (reference init loop, Depth_Estimation_Network.py:59-73)
+#:   'conv_default' Conv3d outside the init loop (FlowNetwork): torch default
+#:                  kaiming-uniform(a=sqrt(5)) == U(+-1/sqrt(cin * prod(k)))
+#:   'deconv'       ConvTranspose3d (not matched by the init loop's
+#:                  isinstance(nn.Conv3d)): U(+-1/sqrt(cout * prod(k)))
+#:   'bias'         conv bias: U(+-1/sqrt(fan_in))
+#:   'bn_weight'/'bn_bias'/'bn_mean'/'bn_var'/'bn_count'  BatchNorm tensors
+Spec = Tuple[str, tuple]
+SpecTable = Dict[str, Spec]
+
+
+def conv_spec(s: SpecTable, pfx: str, cin: int, cout: int, k, *, bias: bool = False,
+              kind: str = "conv_msra") -> None:
+    k = k if isinstance(k, tuple) else (k, k, k)
+    s[f"{pfx}.weight"] = (kind, (*k, cin, cout))
+    if bias:
+        s[f"{pfx}.bias"] = ("bias", (cout,), cin * math.prod(k))
+
+
+def deconv_spec(s: SpecTable, pfx: str, cin: int, cout: int, k=3) -> None:
+    k = k if isinstance(k, tuple) else (k, k, k)
+    s[f"{pfx}.weight"] = ("deconv", (*k, cin, cout))
+
+
+def bn_spec(s: SpecTable, pfx: str, c: int) -> None:
+    s[f"{pfx}.weight"] = ("bn_weight", (c,))
+    s[f"{pfx}.bias"] = ("bn_bias", (c,))
+    s[f"{pfx}.running_mean"] = ("bn_mean", (c,))
+    s[f"{pfx}.running_var"] = ("bn_var", (c,))
+    s[f"{pfx}.num_batches_tracked"] = ("bn_count", ())
+
+
+def convbn_spec(s: SpecTable, pfx: str, cin: int, cout: int, k, *,
+                kind: str = "conv_msra") -> None:
+    """``convbn_3d`` = Sequential(Conv3d(bias=False), BatchNorm3d)."""
+    conv_spec(s, f"{pfx}.0", cin, cout, k, kind=kind)
+    bn_spec(s, f"{pfx}.1", cout)
+
+
+def deconvbn_spec(s: SpecTable, pfx: str, cin: int, cout: int) -> None:
+    """Sequential(ConvTranspose3d(bias=False), BatchNorm3d)."""
+    deconv_spec(s, f"{pfx}.0", cin, cout, 3)
+    bn_spec(s, f"{pfx}.1", cout)
+
+
+def init_params(specs: SpecTable, seed: int = 0) -> Dict[str, jax.Array]:
+    """Sample a fresh parameter dict with reference-matching distributions."""
+    rng = np.random.default_rng(seed)
+    out: Dict[str, np.ndarray] = {}
+    for key, spec in sorted(specs.items()):
+        kind, shape = spec[0], spec[1]
+        if kind == "conv_msra":
+            *k, _cin, cout = shape
+            std = math.sqrt(2.0 / (math.prod(k) * cout))
+            v = rng.normal(0.0, std, size=shape)
+        elif kind == "conv_default":
+            *k, cin, _cout = shape
+            bound = 1.0 / math.sqrt(cin * math.prod(k))
+            v = rng.uniform(-bound, bound, size=shape)
+        elif kind == "deconv":
+            *k, _cin, cout = shape
+            bound = 1.0 / math.sqrt(cout * math.prod(k))
+            v = rng.uniform(-bound, bound, size=shape)
+        elif kind == "bias":
+            fan_in = spec[2]
+            bound = 1.0 / math.sqrt(fan_in)
+            v = rng.uniform(-bound, bound, size=shape)
+        elif kind in ("bn_weight", "bn_var"):
+            v = np.ones(shape)
+        elif kind in ("bn_bias", "bn_mean"):
+            v = np.zeros(shape)
+        elif kind == "bn_count":
+            out[key] = np.zeros(shape, dtype=np.int64)
+            continue
+        else:
+            raise ValueError(f"unknown spec kind {kind!r} for {key}")
+        out[key] = v.astype(np.float32)
+    return {k: jnp.asarray(v) for k, v in out.items()}
+
+
+def trainable_mask(params: Dict[str, Any]) -> Dict[str, bool]:
+    """True for optimizable tensors, False for BN running statistics."""
+    return {
+        k: not (
+            k.endswith(".running_mean")
+            or k.endswith(".running_var")
+            or k.endswith(".num_batches_tracked")
+        )
+        for k in params
+    }
+
+
+# ---------------------------------------------------------------------------
+# Apply-side helpers
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Ctx:
+    """Forward-pass context threaded through the pure model functions."""
+
+    train: bool = False
+    new_stats: Optional[Dict[str, jax.Array]] = None  # filled in train mode
+    bn_axis: Optional[str] = None  # mesh axis name for sync-BN (None = per-shard)
+    precision: Any = None  # lax precision for convolutions
+    compute_dtype: Any = jnp.float32
+
+
+def relu(x: jax.Array) -> jax.Array:
+    return jnp.maximum(x, 0)
+
+
+def apply_bn(p: Dict[str, jax.Array], pfx: str, x: jax.Array, ctx: Ctx) -> jax.Array:
+    if ctx.train:
+        y, new_mean, new_var = batch_norm_train(
+            x,
+            p[f"{pfx}.running_mean"],
+            p[f"{pfx}.running_var"],
+            p[f"{pfx}.weight"],
+            p[f"{pfx}.bias"],
+            axis_name=ctx.bn_axis,
+        )
+        if ctx.new_stats is not None:
+            ctx.new_stats[f"{pfx}.running_mean"] = new_mean
+            ctx.new_stats[f"{pfx}.running_var"] = new_var
+            ctx.new_stats[f"{pfx}.num_batches_tracked"] = (
+                p[f"{pfx}.num_batches_tracked"] + 1
+            )
+        return y
+    return batch_norm(
+        x,
+        p[f"{pfx}.running_mean"],
+        p[f"{pfx}.running_var"],
+        p[f"{pfx}.weight"],
+        p[f"{pfx}.bias"],
+    )
+
+
+def apply_conv(p, pfx, x, ctx: Ctx, *, stride=1, padding=0, dilation=1) -> jax.Array:
+    w = p[f"{pfx}.weight"].astype(x.dtype)
+    y = conv3d(x, w, stride=stride, padding=padding, dilation=dilation,
+               precision=ctx.precision)
+    if f"{pfx}.bias" in p:
+        y = y + p[f"{pfx}.bias"].astype(y.dtype)
+    return y
+
+
+def apply_convbn(p, pfx, x, ctx: Ctx, *, stride=1, padding=0, dilation=1) -> jax.Array:
+    y = apply_conv(p, f"{pfx}.0", x, ctx, stride=stride, padding=padding, dilation=dilation)
+    return apply_bn(p, f"{pfx}.1", y, ctx)
+
+
+def apply_deconvbn(p, pfx, x, ctx: Ctx) -> jax.Array:
+    """Sequential(ConvTranspose3d(k3, p1, op=(0,1,1), s=(1,2,2)), BN) — the only
+    deconv configuration the reference uses."""
+    w = p[f"{pfx}.0.weight"].astype(x.dtype)
+    y = deconv3d(x, w, stride=(1, 2, 2), padding=1, output_padding=(0, 1, 1),
+                 precision=ctx.precision)
+    return apply_bn(p, f"{pfx}.1", y, ctx)
+
+
+# ---------------------------------------------------------------------------
+# Reference blocks (specs + apply): resnet_block_2d, SRD, EFD, FM_module
+# ---------------------------------------------------------------------------
+
+
+def resnet_block_2d_specs(s: SpecTable, pfx: str, c: int) -> None:
+    convbn_spec(s, f"{pfx}.conv.0", c, c, (1, 3, 3))
+    convbn_spec(s, f"{pfx}.conv.2", c, c, (1, 3, 3))
+
+
+def resnet_block_2d_apply(p, pfx, x, ctx: Ctx) -> jax.Array:
+    """Two (1,3,3) convbn with residual (`Depth_Estimation_Network.py:295-304`)."""
+    y = relu(apply_convbn(p, f"{pfx}.conv.0", x, ctx, padding=(0, 1, 1)))
+    y = apply_convbn(p, f"{pfx}.conv.2", y, ctx, padding=(0, 1, 1))
+    return relu(x + y)
+
+
+def srd_specs(s: SpecTable, pfx: str, c: int) -> None:
+    resnet_block_2d_specs(s, f"{pfx}.Focus_Measure", c)
+    conv_spec(s, f"{pfx}.N_ch_attention.0", c, c, (3, 1, 1))
+    conv_spec(s, f"{pfx}.N_ch_attention.2", c, c, (1, 1, 1))
+
+
+def srd_apply(p, pfx, x, ctx: Ctx) -> jax.Array:
+    """Stack-reduction block: spatial residual features plus additive focus-axis
+    attention (`Depth_Estimation_Network.py:317-330`)."""
+    f = resnet_block_2d_apply(p, f"{pfx}.Focus_Measure", x, ctx)
+    a = relu(apply_conv(p, f"{pfx}.N_ch_attention.0", f, ctx, padding=(1, 0, 0)))
+    a = relu(apply_conv(p, f"{pfx}.N_ch_attention.2", a, ctx))
+    return f + a
+
+
+def efd_specs(s: SpecTable, pfx: str, cin: int, cout: int) -> None:
+    convbn_spec(s, f"{pfx}.stride_conv", cin, cout, (3, 3, 3))
+    convbn_spec(s, f"{pfx}.max_pooling.1", cin, cout, (3, 3, 3))
+
+
+def efd_apply(p, pfx, x, ctx: Ctx) -> jax.Array:
+    """Dual-branch spatial downsampling: strided conv + maxpool-conv, summed
+    (`Depth_Estimation_Network.py:306-315`).  Never strides the focus axis."""
+    a = apply_convbn(p, f"{pfx}.stride_conv", x, ctx, stride=(1, 2, 2), padding=1)
+    b = apply_convbn(p, f"{pfx}.max_pooling.1", max_pool3d(x, (1, 2, 2)), ctx, padding=1)
+    return relu(a + b)
+
+
+def fm_module_specs(s: SpecTable, pfx: str) -> None:
+    convbn_spec(s, f"{pfx}.Focus_extraction.0", 3, 8, (1, 9, 9))
+    srd_specs(s, f"{pfx}.Focus_extraction.2", 8)
+
+
+def fm_module_apply(p, pfx, x, ctx: Ctx) -> jax.Array:
+    """Full-resolution focus-measure extraction: dilated (1,9,9) conv (17x17
+    receptive field per slice) + SRD (`Depth_Estimation_Network.py:131-143`)."""
+    y = relu(
+        apply_convbn(p, f"{pfx}.Focus_extraction.0", x, ctx,
+                     padding=(0, 8, 8), dilation=(1, 2, 2))
+    )
+    return srd_apply(p, f"{pfx}.Focus_extraction.2", y, ctx)
