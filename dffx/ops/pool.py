@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -40,9 +41,11 @@ def avg_pool3d(x: jax.Array, window, stride=None) -> jax.Array:
     """torch ``nn.AvgPool3d(window, stride)`` (no padding) in NDHWC."""
     w = _triple(window)
     s = _triple(stride) if stride is not None else w
+    # NB: init must be a concrete (numpy) scalar — a traced jnp constant breaks
+    # reduce_window's linearization under jit-of-grad.
     summed = lax.reduce_window(
         x,
-        jnp.zeros((), x.dtype),
+        np.zeros((), x.dtype),
         lax.add,
         window_dimensions=(1, *w, 1),
         window_strides=(1, *s, 1),

@@ -1,0 +1,172 @@
+"""The jitted training step: forward (train-mode BN), weighted masked-MSE over
+the four depth heads, Adam(0.9, 0.99), BN running-stat updates — one XLA
+program, batch-sharded over the ``data`` mesh axis.
+
+Faithful to the shared template of the reference ``train_code_*.py`` scripts
+(`train_code_DDFF.py:143-168`): loss weights mid 0.3 / D2 0.5 / D3 0.7 /
+D4 1.0, per-recipe pred/GT normalization quirks, optional confidence weighting
+(Smartphone, `train_code_Smartphone.py:17-19`).
+
+Under ``jax.jit`` with batch sharding, the batch statistics of BatchNorm are
+computed over the *global* batch (sync-BN semantics) and gradients are
+all-reduced by XLA — no hand-written collectives.  The reference's
+``nn.DataParallel`` computed BN stats per replica; sync-BN is the strictly
+more consistent choice and is documented here as an intentional deviation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dffx.models import Ctx, dffnet_apply, e2e_apply, trainable_mask
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Per-recipe loss shaping (SURVEY.md §2.3 'Per-recipe deltas')."""
+
+    weights: Tuple[float, float, float, float] = (0.3, 0.5, 0.7, 1.0)  # mid, D2, D3, D4
+    norm_range: Optional[Tuple[float, float]] = None  # (min, max) applied to preds+gt
+    normalize_mid: bool = True  # HCI leaves mid_out unnormalized (train_code_HCI.py:134-137)
+    conf_weighted: bool = False  # Smartphone confidence-weighted MSE
+
+
+def masked_mse(est: jax.Array, gt: jax.Array, mask: jax.Array) -> jax.Array:
+    """Mean squared error over masked pixels (= torch MSELoss(est[mask], gt[mask]))."""
+    m = mask.astype(jnp.float32)
+    return jnp.sum(m * jnp.square(est - gt)) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def conf_masked_mse(est, gt, conf, mask) -> jax.Array:
+    m = mask.astype(jnp.float32)
+    c = conf.astype(jnp.float32) * m
+    return jnp.sum(c * jnp.square(est - gt)) / jnp.maximum(jnp.sum(c), 1e-12)
+
+
+def total_loss(
+    outs: Tuple[jax.Array, ...],
+    batch: Dict[str, jax.Array],
+    cfg: LossConfig,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    mid, p1, p2, p3 = outs[:4]
+    gt = batch["depth"]
+    mask = batch["mask"]
+
+    def norm(x):
+        if cfg.norm_range is None:
+            return x
+        lo, hi = cfg.norm_range
+        return (x - lo) / (hi - lo)
+
+    gt_n = norm(gt)
+    preds = [norm(p1), norm(p2), norm(p3)]
+    mid_n = norm(mid) if cfg.normalize_mid else mid
+    mid_gt = gt_n if cfg.normalize_mid else gt
+
+    if cfg.conf_weighted:
+        conf = batch["conf"]
+        losses = [conf_masked_mse(p, gt_n, conf, mask) for p in preds]
+        mid_loss = conf_masked_mse(mid_n, mid_gt, conf, mask)
+    else:
+        losses = [masked_mse(p, gt_n, mask) for p in preds]
+        mid_loss = masked_mse(mid_n, mid_gt, mask)
+
+    w_mid, w1, w2, w3 = cfg.weights
+    total = w_mid * mid_loss + w1 * losses[0] + w2 * losses[1] + w3 * losses[2]
+    return total, {
+        "loss": total,
+        "mid_loss": mid_loss,
+        "loss1": losses[0],
+        "loss2": losses[1],
+        "loss3": losses[2],
+    }
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    step: jax.Array
+    params: Dict[str, jax.Array]  # includes BN running stats
+    opt_state: Any
+
+
+def _make_optimizer(lr: float, params) -> optax.GradientTransformation:
+    """Adam(betas=(0.9, 0.99)) on weights/biases only (`train_code_DDFF.py:66`);
+    BN running statistics are excluded (torch's optimizer never sees buffers)."""
+    mask = trainable_mask(params)
+    return optax.masked(optax.adam(lr, b1=0.9, b2=0.99, eps=1e-8), mask)
+
+
+def create_train_state(params: Dict[str, jax.Array], lr: float) -> TrainState:
+    opt = _make_optimizer(lr, params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=opt.init(params),
+    )
+
+
+def make_train_step(
+    lr: float,
+    loss_cfg: LossConfig,
+    *,
+    e2e: bool = False,
+    compute_dtype=jnp.float32,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Build the jitted train step.
+
+    The returned function takes ``(state, batch)`` where batch holds
+    ``fs (B,N,H,W,3)``, ``depth (B,H,W)``, ``focus_dists (B,N)``,
+    ``mask (B,H,W)`` and optionally ``conf`` / ``fovs``.
+    """
+
+    def loss_fn(trainables, stats, batch):
+        params = {**trainables, **stats}
+        new_stats: Dict[str, jax.Array] = {}
+        ctx = Ctx(train=True, new_stats=new_stats, compute_dtype=compute_dtype)
+        fs = batch["fs"].astype(compute_dtype)
+        if e2e:
+            outs = e2e_apply(params, fs, batch["focus_dists"], batch["fovs"], ctx)
+        else:
+            outs = dffnet_apply(params, fs, batch["focus_dists"], ctx)
+        outs = tuple(o.astype(jnp.float32) for o in outs[:4])
+        total, logs = total_loss(outs, batch, loss_cfg)
+        return total, (new_stats, logs)
+
+    def step(state: TrainState, batch):
+        mask = trainable_mask(state.params)
+        trainables = {k: v for k, v in state.params.items() if mask[k]}
+        stats = {k: v for k, v in state.params.items() if not mask[k]}
+        (_, (new_stats, logs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainables, stats, batch
+        )
+        grads_full = {k: grads.get(k, jnp.zeros_like(v)) for k, v in state.params.items()}
+        opt = _make_optimizer(lr, state.params)
+        updates, new_opt_state = opt.update(grads_full, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_params.update({k: v.astype(new_params[k].dtype) for k, v in new_stats.items()})
+        return (
+            TrainState(step=state.step + 1, params=new_params, opt_state=new_opt_state),
+            logs,
+        )
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_fn(*, e2e: bool = False, compute_dtype=jnp.float32, precision=None):
+    """Jitted eval forward returning all four heads (+ warped stack if e2e)."""
+
+    def fwd(params, batch):
+        ctx = Ctx(train=False, compute_dtype=compute_dtype, precision=precision)
+        fs = batch["fs"].astype(compute_dtype)
+        if e2e:
+            return e2e_apply(params, fs, batch["focus_dists"], batch["fovs"], ctx)
+        return dffnet_apply(params, fs, batch["focus_dists"], ctx)
+
+    return jax.jit(fwd)
