@@ -1,0 +1,28 @@
+"""dffx.data — dataset readers, augmentation, EXR codec, input pipeline."""
+
+from dffx.data.datasets import (
+    DDFFBenchmark,
+    DDFFTrainval,
+    DefocusNetDataset,
+    FlyingThings3DDataset,
+    HCIDataset,
+    MiddleburyDataset,
+    RealScenesDataset,
+    SmartphoneDataset,
+    ddff_focus_dists,
+)
+from dffx.data.pipeline import Loader, device_prefetch
+
+__all__ = [
+    "DDFFBenchmark",
+    "DDFFTrainval",
+    "DefocusNetDataset",
+    "FlyingThings3DDataset",
+    "HCIDataset",
+    "MiddleburyDataset",
+    "RealScenesDataset",
+    "SmartphoneDataset",
+    "ddff_focus_dists",
+    "Loader",
+    "device_prefetch",
+]

@@ -1,0 +1,114 @@
+"""Host-side input pipeline: threaded prefetch + device double-buffering.
+
+Replaces the reference's ``torch.utils.data.DataLoader(num_workers=...,
+pin_memory=True)`` (`train_code_DDFF.py:69-70`) with a thread-pool prefetcher
+(the decoders — h5py, cv2, zlib — release the GIL) feeding ``jax.device_put``
+with a lookahead queue so the TPU never waits on the host.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Iterable, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+def _stack_batch(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    keys = [k for k in samples[0] if k != "unpadded"]
+    return {k: np.stack([np.asarray(s[k]) for s in samples], axis=0) for k in keys}
+
+
+class Loader:
+    """Minimal epoch-based batched loader with threaded sample decoding."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        *,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_threads: int = 4,
+        seed: int = 0,
+        lookahead: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_threads = num_threads
+        self.lookahead = lookahead
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+            futs = queue.Queue()
+            it = iter(batches)
+
+            def submit_next():
+                try:
+                    idxs = next(it)
+                except StopIteration:
+                    return False
+                futs.put(pool.submit(self._load_batch, idxs))
+                return True
+
+            for _ in range(self.lookahead):
+                if not submit_next():
+                    break
+            while not futs.empty():
+                fut = futs.get()
+                submit_next()
+                yield fut.result()
+
+    def _load_batch(self, idxs) -> Dict[str, np.ndarray]:
+        return _stack_batch([self.dataset[int(i)] for i in idxs])
+
+
+def device_prefetch(
+    iterator: Iterable,
+    *,
+    sharding: Optional[jax.sharding.Sharding] = None,
+    size: int = 2,
+):
+    """Move batches to device ahead of consumption (double buffering)."""
+    buf: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree_util.tree_map(jax.device_put, batch)
+
+    def producer():
+        try:
+            for batch in iterator:
+                buf.put(put(batch))
+        finally:
+            buf.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = buf.get()
+        if item is sentinel:
+            break
+        yield item

@@ -31,3 +31,62 @@ assert len(jax.devices()) == 8, jax.devices()
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def install_reference_stubs():
+    """Shim the third-party modules the read-only reference imports but this
+    image lacks (skimage, OpenEXR, Imath, numpy<2 fromstring), so reference
+    code can serve as a parity oracle.  Test-only; dffx itself never needs them."""
+    import sys
+    import types
+
+    if "skimage" not in sys.modules:
+        import scipy.ndimage as ndi
+
+        kv = np.array([[3, 0, -3], [10, 0, -10], [3, 0, -3]], dtype=np.float64) / 32.0
+        filters = types.ModuleType("skimage.filters")
+        filters.scharr_v = lambda img: ndi.correlate(
+            np.asarray(img, dtype=np.float64), kv, mode="reflect"
+        )
+        filters.scharr_h = lambda img: ndi.correlate(
+            np.asarray(img, dtype=np.float64), kv.T, mode="reflect"
+        )
+        skimage = types.ModuleType("skimage")
+        skimage.filters = filters
+        skimage.color = types.ModuleType("skimage.color")
+        skimage.exposure = types.ModuleType("skimage.exposure")
+        sys.modules["skimage"] = skimage
+        sys.modules["skimage.filters"] = filters
+        sys.modules["skimage.color"] = skimage.color
+        sys.modules["skimage.exposure"] = skimage.exposure
+
+    if "OpenEXR" in sys.modules:
+        return
+
+    from dffx.data import exr
+
+    class _Pt:
+        def __init__(self, x, y):
+            self.x, self.y = x, y
+
+    class _Box:
+        def __init__(self, w, h):
+            self.min, self.max = _Pt(0, 0), _Pt(w - 1, h - 1)
+
+    class InputFile:
+        def __init__(self, path):
+            self._ch = exr.read(path)
+
+        def header(self):
+            h, w = next(iter(self._ch.values())).shape
+            return {"dataWindow": _Box(w, h)}
+
+        def channels(self, names):
+            return [self._ch[n].astype(np.float16).tobytes() for n in names]
+
+    mod = types.ModuleType("OpenEXR")
+    mod.InputFile = InputFile
+    sys.modules["OpenEXR"] = mod
+    sys.modules["Imath"] = types.ModuleType("Imath")
+    if not hasattr(np, "fromstring"):
+        np.fromstring = lambda s, dtype=float: np.frombuffer(s, dtype=dtype)

@@ -1,0 +1,305 @@
+"""Data-layer parity: dffx loaders vs the reference loaders (imported read-only
+as oracles) on the bundled real scene and on synthetic fixtures (SURVEY.md §4:
+loader golden tests on tiny fixture files)."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from dffx.data import exr
+from dffx.data import augmentation as aug
+from dffx.data.datasets import (
+    DDFFBenchmark,
+    DefocusNetDataset,
+    HCIDataset,
+    MiddleburyDataset,
+    RealScenesDataset,
+    SmartphoneDataset,
+)
+from dffx.data.pipeline import Loader
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="no reference")
+
+
+def _ref_loader_mod(subdir, name):
+    import importlib
+
+    from conftest import install_reference_stubs
+
+    install_reference_stubs()
+    path = os.path.join(REF, subdir)
+    if path not in sys.path:
+        sys.path.insert(0, path)
+    return importlib.import_module(name)
+
+
+# ---------------------------------------------------------------------------
+# Real scene (the only data shipped in-repo): direct parity on `balls/`
+# ---------------------------------------------------------------------------
+
+
+def test_real_scenes_parity_on_bundled_balls(monkeypatch):
+    scenes_root = os.path.join(REF, "End_to_End", "Datasets")
+    ours = RealScenesDataset(root=scenes_root)[0]
+
+    mod = _ref_loader_mod("End_to_End", "Test_dataloader")
+    monkeypatch.chdir(os.path.join(REF, "End_to_End"))
+    ref_fs, ref_fd, ref_fov, ref_shape = mod.Real_Scenes()[0]
+
+    ref_fs = np.asarray(ref_fs)  # (3, N, Hp, Wp)
+    np.testing.assert_allclose(ours["fs"], ref_fs.transpose(1, 2, 3, 0), atol=1e-6)
+    np.testing.assert_allclose(ours["focus_dists"], np.asarray(ref_fd).squeeze(), atol=1e-7)
+    np.testing.assert_allclose(ours["fovs"], np.asarray(ref_fov).squeeze(), rtol=1e-6)
+    assert tuple(ours["unpadded"]) == tuple(ref_shape[:2])
+    assert ours["fs"].shape[1] % 32 == 0 and ours["fs"].shape[2] % 32 == 0
+
+
+# ---------------------------------------------------------------------------
+# Augmentation math parity (pure functions, explicit seeds)
+# ---------------------------------------------------------------------------
+
+
+def test_augmentation_parity(rng):
+    ref_aug = _ref_loader_mod("train_codes", "augmentation")
+    x = rng.uniform(0, 255, (16, 18, 3, 5))
+    d = rng.uniform(0, 2, (16, 18))
+    got = aug.image_augmentation(x, 1.3, -0.05, 1.7)
+    want = ref_aug.image_augmentation(x, 1.3, -0.05, 1.7)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    for rv in (0.2, 0.9):
+        gx, gd = aug.horizontal_flip(x.copy(), d.copy(), rv)
+        wx, wd = ref_aug.horizontal_flip(x.copy(), d.copy(), rv)
+        np.testing.assert_array_equal(gx, wx)
+        np.testing.assert_array_equal(gd, wd)
+        gx, gd = aug.vertical_flip(x.copy(), d.copy(), rv)
+        wx, wd = ref_aug.vertical_flip(x.copy(), d.copy(), rv)
+        np.testing.assert_array_equal(gx, wx)
+    for k in range(4):
+        gx, gd = aug.rotate(x.copy(), d.copy(), k)
+        wx, wd = ref_aug.rotate(x.copy(), d.copy(), k)
+        np.testing.assert_array_equal(gx, wx)
+        np.testing.assert_array_equal(gd, wd)
+    gx, gd = aug.randcrop_3d(x, d, 3, 2, 6, 4)
+    wx, wd = ref_aug.randcrop_3d(x, d, 3, 2, 6, 4)
+    np.testing.assert_array_equal(gx, wx)
+    np.testing.assert_array_equal(gd, wd)
+
+
+# ---------------------------------------------------------------------------
+# Fixture-based loader parity
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fs6_dir(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("fs6") / "test"
+    root.mkdir()
+    r = np.random.default_rng(3)
+    for s in range(2):
+        depth = r.uniform(0.0, 1.8, (256, 256)).astype(np.float16)
+        exr.write(str(root / f"{s:02d}Dpt.exr"), {"R": depth, "G": depth, "B": depth})
+        for i in range(5):
+            img = r.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+            cv2.imwrite(str(root / f"{s:02d}_{i}All.tif"), img)
+    return str(root.parent)
+
+
+def test_fs6_parity(fs6_dir, monkeypatch):
+    ours = DefocusNetDataset(root=fs6_dir, mode="test")
+    assert len(ours) == 2
+    mod = _ref_loader_mod("Depth_Estimation_Test", "test_Dataloader")
+    monkeypatch.chdir(fs6_dir)
+    monkeypatch.setattr(mod.FS6_dataset, "__init__", _fs6_init(fs6_dir))
+    ref = mod.FS6_dataset()
+    for i in range(2):
+        o = ours[i]
+        r_fs, r_gt, r_fd, r_mask = ref[i]
+        np.testing.assert_allclose(o["fs"], np.asarray(r_fs).transpose(1, 2, 3, 0), atol=1e-6)
+        np.testing.assert_allclose(o["depth"], np.asarray(r_gt), atol=0)
+        np.testing.assert_array_equal(o["mask"], np.asarray(r_mask))
+        np.testing.assert_allclose(o["focus_dists"], np.asarray(r_fd)[:, 0, 0])
+
+
+def _fs6_init(root):
+    from os import listdir
+    from os.path import isfile, join
+
+    import torch
+
+    def __init__(self):
+        self.root = root + "/test/"
+        fls = [f for f in listdir(self.root) if isfile(join(self.root, f))]
+        self.imglist_all = sorted(f for f in fls if f[-7:] == "All.tif")
+        self.imglist_dpt = sorted(f for f in fls if f[-7:] == "Dpt.exr")
+        self.max_depth = 3.0
+        fd = np.array([0.1, 0.15, 0.3, 0.7, 1.5])[:, None, None].astype(np.float32)
+        self.Focus_Dists = torch.Tensor(np.tile(fd, [1, 256, 256]))
+
+    return __init__
+
+
+@pytest.fixture(scope="module")
+def ddff_test_h5(tmp_path_factory):
+    import h5py
+
+    path = tmp_path_factory.mktemp("ddff") / "ddff-test.h5"
+    r = np.random.default_rng(4)
+    with h5py.File(path, "w") as f:
+        f["stack_test"] = r.integers(0, 256, (2, 10, 47, 72, 3), dtype=np.uint8)
+    return str(path)
+
+
+def test_ddff_benchmark_parity(ddff_test_h5):
+    ours = DDFFBenchmark(h5_path=ddff_test_h5)
+    mod = _ref_loader_mod("Depth_Estimation_Test", "test_Dataloader")
+    ref = mod.DDFF12dataset_benchmark.__new__(mod.DDFF12dataset_benchmark)
+    import h5py
+    import torch
+
+    ref.hdf5 = h5py.File(ddff_test_h5, "r")
+    ref.stack_key = "stack_test"
+    ref.focus_dists = torch.Tensor(ours.focus_dists)
+    for i in range(2):
+        o = ours[i]
+        r_fs = np.asarray(mod.DDFF12dataset_benchmark.__getitem__(ref, i)[0])
+        np.testing.assert_allclose(o["fs"], r_fs.transpose(1, 2, 3, 0), atol=1e-6)
+        assert o["fs"].shape[1] % 32 == 0 and o["fs"].shape[2] % 32 == 0
+        assert tuple(o["unpadded"]) == (47, 72)
+    np.testing.assert_allclose(
+        ours.focus_dists,
+        np.linspace(1982.0250823695178 / 7317.020641763665 * 1e-3 * 521.4052 / 0.5,
+                    1982.0250823695178 / 7317.020641763665 * 1e-3 * 521.4052 / 7, 10),
+        rtol=1e-6,
+    )
+
+
+@pytest.fixture(scope="module")
+def hci_h5(tmp_path_factory):
+    import h5py
+
+    path = tmp_path_factory.mktemp("hci") / "hci.h5"
+    r = np.random.default_rng(5)
+    with h5py.File(path, "w") as f:
+        f["stack_val"] = r.integers(0, 256, (1, 10, 512, 512, 3), dtype=np.uint8)
+        f["disp_val"] = r.uniform(-3.2, 3.2, (1, 512, 512)).astype(np.float32)
+        f["focus_position_disp"] = np.linspace(-2.5, 2.5, 10)[None].astype(np.float32)
+    return str(path)
+
+
+def test_hci_val_parity(hci_h5):
+    ours = HCIDataset(h5_path=hci_h5, split="val")
+    mod = _ref_loader_mod("Depth_Estimation_Test", "test_Dataloader")
+    import h5py
+    import torch
+
+    ref = mod.HCI_dataset.__new__(mod.HCI_dataset)
+    ref.hdf5 = h5py.File(hci_h5, "r")
+    ref.stack_key, ref.disp_key = "stack_val", "disp_val"
+    ref.input_size = ref.size = (512, 512)
+    fd = np.squeeze(np.asarray(ref.hdf5["focus_position_disp"]), axis=0)[:, None, None]
+    ref.focus_dists = torch.Tensor(np.tile(fd, [1, 512, 512]))
+    ref.min_dist, ref.max_dist = np.min(fd), np.max(fd)
+
+    o = ours[0]
+    r_fs, r_gt, r_fd, r_mask = mod.HCI_dataset.__getitem__(ref, 0)
+    np.testing.assert_allclose(o["fs"], np.asarray(r_fs).transpose(1, 2, 3, 0), atol=1e-6)
+    np.testing.assert_allclose(o["depth"], np.asarray(r_gt))
+    np.testing.assert_array_equal(o["mask"], np.asarray(r_mask))
+
+
+@pytest.fixture(scope="module")
+def smartphone_dir(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("phone")
+    r = np.random.default_rng(6)
+    indexes = np.rint(np.linspace(0, 48, 10, endpoint=True)).astype(int)
+    scene = root / "test"
+    for sub in ["scaled_images/scene0", "merged_depth/scene0", "merged_conf/scene0"]:
+        (scene / sub).mkdir(parents=True)
+    for j in indexes:
+        (scene / f"scaled_images/scene0/{j}").mkdir()
+        img = r.integers(0, 256, (504, 378, 3), dtype=np.uint8)
+        cv2.imwrite(str(scene / f"scaled_images/scene0/{j}/result_scaled_image_center.jpg"), img)
+    depth_png = r.integers(0, 256, (504, 378), dtype=np.uint8)
+    cv2.imwrite(str(scene / "merged_depth/scene0/result_merged_depth_center.png"), depth_png)
+    conf = r.uniform(0, 1.4, (504, 378)).astype(np.float16)
+    exr.write(
+        str(scene / "merged_conf/scene0/result_merged_conf_center.exr"),
+        {"R": conf, "G": conf, "B": conf},
+    )
+    return str(root) + "/"
+
+
+def test_smartphone_test_loader(smartphone_dir):
+    ds = SmartphoneDataset(root=smartphone_dir, mode="test")
+    assert len(ds) == 1
+    o = ds[0]
+    assert o["fs"].shape == (10, 352, 256, 3)  # 336x252 padded to x32
+    assert o["depth"].shape == (336, 252)
+    assert o["conf"].max() <= 1.0
+    # padding value is -1 in test mode
+    assert np.all(o["fs"][:, 336:, :, :] == -1.0)
+    # focus distances: diopters of the table subsampled at rint(linspace)
+    expect_m = np.asarray([3910.92, 935.91, 546.23, 407.40, 329.95, 274.13,
+                           237.08, 207.10, 183.96, 165.57]) * 1e-3
+    idx = np.rint(np.linspace(0, 48, 10)).astype(int)
+    table = np.asarray(
+        [3910.92, 2289.27, 1508.71, 1185.83, 935.91, 801.09, 700.37, 605.39,
+         546.23, 486.87, 447.99, 407.40, 379.91, 350.41, 329.95, 307.54,
+         291.72, 274.13, 261.53, 247.35, 237.08, 225.41, 216.88, 207.10,
+         198.18, 191.60, 183.96, 178.29, 171.69, 165.57, 160.99, 155.61,
+         150.59, 146.81, 142.35, 138.98, 134.99, 131.23, 127.69, 124.99,
+         121.77, 118.73, 116.40, 113.63, 110.99, 108.47, 106.54, 104.23, 102.01]
+    )
+    np.testing.assert_allclose(o["focus_dists"], 1.0 / (table[idx] * 1e-3), rtol=1e-6)
+    # GT decode: g/255 -> 20/(100-99.8g) -> 1/x, clamped outside [min,max] -> 0
+    assert set(np.unique(o["mask"])) <= {False, True}
+
+
+@pytest.fixture(scope="module")
+def middlebury_fixture(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("midd")
+    r = np.random.default_rng(7)
+    lines = []
+    for s in range(1):
+        paths = []
+        for i in range(15):
+            p = root / f"s{s}_im{i}.png"
+            cv2.imwrite(str(p), r.integers(0, 256, (40, 56, 3), dtype=np.uint8))
+            paths.append(str(p))
+        dp = root / f"s{s}_disp.png"
+        cv2.imwrite(str(dp), r.integers(0, 80, (40, 56), dtype=np.uint8).astype(np.uint8))
+        lines.append(" ".join(paths + [str(dp)]))
+    lst = root / "list.txt"
+    lst.write_text("\n".join(lines) + "\n")
+    return str(lst)
+
+
+def test_middlebury_loader(middlebury_fixture):
+    ds = MiddleburyDataset(list_file=middlebury_fixture)
+    o = ds[0]
+    assert o["fs"].shape == (15, 64, 64, 3)
+    assert o["depth"].shape == (40, 56)
+    np.testing.assert_allclose(o["focus_dists"], np.linspace(10, 60, 15))
+    # clamp to [10, 60] -> 0 + mask
+    d = o["depth"]
+    assert np.all(d[o["mask"]] >= 10) and np.all(d[o["mask"]] <= 60)
+    assert np.all(d[~o["mask"]] == 0.0)
+
+
+def test_loader_batching(fs6_dir):
+    ds = DefocusNetDataset(root=fs6_dir, mode="test")
+    batches = list(Loader(ds, batch_size=2, num_threads=2))
+    assert len(batches) == 1
+    assert batches[0]["fs"].shape == (2, 5, 256, 256, 3)
+    assert batches[0]["focus_dists"].shape == (2, 5)
