@@ -1,0 +1,82 @@
+"""Shared eval utilities: checkpoint autoload, jet colormap, timed jitted forward."""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dffx import checkpoint as ckpt
+from dffx.models import Ctx, init_params
+from dffx.models.layers import SpecTable
+
+
+def load_params_auto(path: Optional[str], specs: SpecTable, *, allow_random: bool = False):
+    """Load params from a reference ``.pth`` or a dffx pickle; optionally fall
+    back to random init (smoke tests / environments without the checkpoints,
+    which are stripped from this mirror — `.MISSING_LARGE_BLOBS`)."""
+    if path and os.path.exists(path):
+        if path.endswith(".pth"):
+            return ckpt.load_torch_checkpoint(path, specs)
+        params = ckpt.load(path)
+        if isinstance(params, dict) and "params" in params:
+            params = params["params"]
+        return {k: jnp.asarray(v) for k, v in params.items()}
+    if allow_random:
+        print(f"[dffx] checkpoint {path!r} not found — using random init (--allow-random-init)")
+        return init_params(specs, seed=0)
+    raise FileNotFoundError(
+        f"checkpoint {path!r} not found; pass --checkpoint or --allow-random-init"
+    )
+
+
+def jet_colormap(x: np.ndarray) -> np.ndarray:
+    """matplotlib 'jet' RGB colormap (uint8), matching the reference's
+    ``cm.get_cmap('jet')(x)[..., :3]`` (`test.py:133-140`)."""
+    import matplotlib
+
+    cmap = matplotlib.colormaps["jet"]
+    rgb = cmap(np.asarray(x, dtype=np.float64))[..., :3]
+    return (255 * rgb).astype(np.uint8)
+
+
+def save_jet(path: str, normalized: np.ndarray) -> None:
+    import imageio
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    imageio.imwrite(path, jet_colormap(normalized), quality=100)
+
+
+class TimedForward:
+    """Jitted eval forward with host-side wall timing (the reference's
+    ``AVG_time`` semantics: time around the forward call, `test.py:117-119`)."""
+
+    def __init__(self, apply_fn, params, *, dtype=jnp.float32, precision=None):
+        self.params = params
+        self.total = 0.0
+        self.count = 0
+
+        def fwd(p, *args):
+            ctx = Ctx(train=False, compute_dtype=dtype, precision=precision)
+            cast = tuple(a.astype(dtype) if a.ndim >= 4 else a for a in args)
+            return apply_fn(p, *cast, ctx)
+
+        self._jitted = jax.jit(fwd)
+
+    def __call__(self, *args):
+        args = tuple(jnp.asarray(a) for a in args)
+        t0 = time.time()
+        outs = self._jitted(self.params, *args)
+        outs = jax.block_until_ready(outs)
+        self.total += time.time() - t0
+        self.count += 1
+        return outs
+
+    @property
+    def avg_time(self) -> float:
+        return self.total / max(self.count, 1)
