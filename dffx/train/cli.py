@@ -1,0 +1,169 @@
+"""Training CLI — one driver for all five reference recipes.
+
+    python -m dffx.train.cli --recipe DDFF --lr 1e-4
+        [--saveroot train_test/] [--max_epoch N] [--load_epoch N]
+        [--batch_size 4] [--cpus 10] [--data-root Datasets/]
+
+Flag names follow the reference scripts (`train_code_DDFF.py:22-29`); training
+is batch-sharded over all local TPU devices (the ``data`` mesh axis) with the
+jitted step from ``dffx.train.loop``; checkpoints are written per epoch under
+``saveroot/models/`` and TensorBoard scalars under ``saveroot/logs`` with the
+reference's tag names.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dffx import checkpoint as ckpt
+from dffx import metrics as M
+from dffx.data import Loader, device_prefetch
+from dffx.models import init_params, network_specs
+from dffx.parallel import batch_sharding, make_mesh
+from dffx.train.loop import TrainState, create_train_state, make_eval_fn, make_train_step
+from dffx.train.recipes import RECIPES
+from dffx.utils.tensorboard import SummaryWriter
+
+
+def _validate(eval_fn, params, dataset, recipe, writer, epoch):
+    sums = {m: 0.0 for m in recipe.val_metrics}
+    val_time = 0.0
+    n = len(dataset)
+    for idx in range(n):
+        s = dataset[idx]
+        batch = {
+            "fs": jnp.asarray(s["fs"][None]),
+            "focus_dists": jnp.asarray(s["focus_dists"][None]),
+        }
+        t0 = time.time()
+        outs = jax.block_until_ready(eval_fn(params, batch))
+        val_time += time.time() - t0
+        pred = np.asarray(outs[3], dtype=np.float32)[0]
+        h, w = s["unpadded"]
+        pred = pred[:h, :w]
+        if recipe.val_crop_rows:
+            pred = pred[: recipe.val_crop_rows]
+            gt = s["depth"][: recipe.val_crop_rows]
+            mask = s["mask"][: recipe.val_crop_rows]
+        else:
+            gt, mask = s["depth"], s["mask"]
+        for m in recipe.val_metrics:
+            if m == "bumpiness":
+                sums[m] += M.get_bumpiness(gt, pred, mask)
+            elif m.startswith("accuracy"):
+                sums[m] += M.mask_accuracy_k(pred, gt, int(m[-1]), mask)
+            elif recipe.loss.conf_weighted:
+                fn = {"mse": M.mask_mse_w_conf, "mae": M.mask_mae_w_conf}[m]
+                sums[m] += fn(pred, gt, s["conf"], mask)
+            else:
+                sums[m] += getattr(M, f"mask_{m}")(pred, gt, mask)
+    for m in recipe.val_metrics:
+        label = "Avg_Bulmp" if m == "bumpiness" else f"Avg_{m}"
+        print(f"{label}({epoch}) : ", sums[m] / n)
+        writer.add_scalar(f"Loss/validation/DFF/{label}", sums[m] / n, epoch)
+    print("AVG_time:", val_time / n)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train code: Depth from focus (dffx/TPU)")
+    parser.add_argument("--recipe", type=str, required=True, choices=sorted(RECIPES))
+    parser.add_argument("--saveroot", default="train_test/", type=str)
+    parser.add_argument("--lr", type=float, required=True)
+    parser.add_argument("--max_epoch", default=None, type=int)
+    parser.add_argument("--load_epoch", default=0, type=int)
+    parser.add_argument("--batch_size", default=4, type=int)
+    parser.add_argument("--cpus", default=10, type=int, help="decoder threads")
+    parser.add_argument("--data-root", default="Datasets/", type=str)
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--steps-per-epoch", default=None, type=int,
+                        help="cap train steps per epoch (smoke tests)")
+    args = parser.parse_args(argv)
+
+    recipe = RECIPES[args.recipe]
+    max_epoch = args.max_epoch if args.max_epoch is not None else recipe.max_epoch
+    root = args.saveroot
+    os.makedirs(os.path.join(root, "models"), exist_ok=True)
+    writer = SummaryWriter(os.path.join(root, "logs"))
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    assert args.batch_size % n_dev == 0 or n_dev == 1, (
+        f"batch_size {args.batch_size} must divide over {n_dev} devices"
+    )
+
+    train_ds, val_ds = recipe.make_datasets(args.data_root, args.seed)
+
+    specs = network_specs()
+    if args.load_epoch > 1:
+        blob = ckpt.load(os.path.join(root, "models", f"{args.load_epoch}.ckpt"))
+        state = TrainState(
+            step=jnp.asarray(blob["step"]),
+            params={k: jnp.asarray(v) for k, v in blob["params"].items()},
+            opt_state=jax.tree_util.tree_map(jnp.asarray, blob["opt_state"]),
+        )
+    else:
+        state = create_train_state(init_params(specs, seed=args.seed), lr=args.lr)
+
+    step_fn = make_train_step(args.lr, recipe.loss)
+    eval_fn = make_eval_fn()
+    sharding = batch_sharding(mesh)
+
+    num_train = len(train_ds) // args.batch_size
+    start = time.time()
+    for epoch in range(args.load_epoch, max_epoch + 1):
+        if epoch % recipe.save_epoch == 0 and epoch != args.load_epoch:
+            ckpt.save(
+                os.path.join(root, "models", f"{epoch}.ckpt"),
+                {"step": state.step, "params": state.params, "opt_state": state.opt_state},
+            )
+        if epoch % recipe.test_epoch == 0:
+            _validate(eval_fn, state.params, val_ds, recipe, writer, epoch)
+
+        sums = dict(total=0.0, mid=0.0, l1=0.0, l2=0.0, l3=0.0)
+        loader = Loader(
+            train_ds,
+            args.batch_size,
+            shuffle=True,
+            drop_last=True,
+            num_threads=args.cpus,
+            seed=args.seed + epoch,
+        )
+        steps = 0
+        for batch in device_prefetch(iter(loader), sharding=sharding):
+            batch = {
+                k: v for k, v in batch.items() if k in ("fs", "depth", "focus_dists", "mask", "conf")
+            }
+            state, logs = step_fn(state, batch)
+            sums["total"] += float(logs["loss"])
+            sums["mid"] += float(logs["mid_loss"])
+            sums["l1"] += float(logs["loss1"])
+            sums["l2"] += float(logs["loss2"])
+            sums["l3"] += float(logs["loss3"])
+            steps += 1
+            if args.steps_per_epoch and steps >= args.steps_per_epoch:
+                break
+
+        denom = max(num_train, 1) * recipe.print_epoch
+        if epoch % recipe.print_epoch == 0:
+            print("Epoch:", epoch)
+            print("AVG_DFF_TotalLoss:", sums["total"] / max(steps, 1))
+            print("Time:", time.time() - start)
+            writer.add_scalar("Loss/train/Total loss", sums["total"] / denom, epoch)
+            writer.add_scalar("Loss/train/Mid loss", sums["mid"] / denom, epoch)
+            writer.add_scalar("Loss/train/First/L1 loss", sums["l1"] / denom, epoch)
+            writer.add_scalar("Loss/train/Second/L1 loss", sums["l2"] / denom, epoch)
+            writer.add_scalar("Loss/train/Third/L1 loss", sums["l3"] / denom, epoch)
+            start = time.time()
+
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()
