@@ -185,9 +185,13 @@ class DDFFBenchmark:
         return self.hdf5["stack_test"].shape[0]
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        fs = np.asarray(self.hdf5["stack_test"][idx], dtype=np.float32)  # (N,H,W,3)
-        fs = fs / 127.5 - 1.0
-        fs = _pad32(fs)
+        raw = np.asarray(self.hdf5["stack_test"][idx])  # (N, H, W, 3)
+        if raw.dtype == np.uint8:
+            from dffx.data import native
+
+            fs = native.normalize_pad_stack(raw)  # fused C++ normalize+pad
+        else:
+            fs = _pad32(np.asarray(raw, np.float32) / 127.5 - 1.0)
         h, w = self.hdf5["stack_test"].shape[2:4]
         return {
             "fs": fs.astype(np.float32),
@@ -468,14 +472,16 @@ class RealScenesDataset:
         rel_fov = 1 / focal_length - 1 / focus_dists
         rel_fov = rel_fov / np.min(rel_fov)
 
+        from dffx.data import native
+
         imgs = [
-            cv2.imread(path + files[i]).astype(np.float32)[cy:-cy, cx:-cx]
-            for i in range(self.num_imgs)
+            cv2.imread(path + files[i])[cy:-cy, cx:-cx] for i in range(self.num_imgs)
         ]
-        fs = np.stack(imgs, axis=0) / 127.5 - 1.0  # (N, H, W, 3)
-        unpadded = fs.shape[1:3]
+        raw = np.stack(imgs, axis=0)  # (N, H, W, 3) uint8
+        unpadded = raw.shape[1:3]
+        fs = native.normalize_pad_stack(raw)  # fused C++ normalize+pad (or numpy)
         return {
-            "fs": _pad32(fs.astype(np.float32)),
+            "fs": fs,
             "focus_dists": (1.0 / focus_dists).astype(np.float32),
             "fovs": rel_fov.astype(np.float32),
             "unpadded": unpadded,

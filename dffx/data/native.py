@@ -1,0 +1,106 @@
+"""ctypes bindings for the native host-side data-path library (csrc/dffxio.cc).
+
+The C++ library fuses the loader hot path — uint8→float ``x/127.5-1``
+normalization, pad-to-x32, layout conversion — into one multithreaded pass.
+Everything here degrades gracefully to numpy when the .so hasn't been built;
+``ensure_built()`` compiles it on demand with the in-image toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "csrc")
+_SO = os.path.join(_CSRC, "libdffxio.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def ensure_built(quiet: bool = True) -> bool:
+    """Build libdffxio.so if missing; returns availability."""
+    global _tried
+    if os.path.exists(_SO):
+        return True
+    if _tried:
+        return False
+    _tried = True
+    try:
+        subprocess.run(
+            ["make", "-C", _CSRC],
+            check=True,
+            capture_output=quiet,
+        )
+        return os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not ensure_built():
+        return None
+    lib = ctypes.CDLL(_SO)
+    i64, f32, i32 = ctypes.c_int64, ctypes.c_float, ctypes.c_int
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.dffxio_normalize_u8.argtypes = [u8p, f32p, i64]
+    lib.dffxio_normalize_pad_stack.argtypes = [u8p, f32p, i64, i64, i64, i64, i64, i64, f32, i32]
+    lib.dffxio_normalize_pad_stack_f32.argtypes = [f32p, f32p, i64, i64, i64, i64, i64, i64, f32, i32]
+    lib.dffxio_hwcn_to_nhwc_normalize.argtypes = [f64p, f32p, i64, i64, i64, i64, i32]
+    lib.dffxio_version.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def normalize_pad_stack(
+    stack: np.ndarray, pad_value: float = -1.0, threads: int = 4
+) -> np.ndarray:
+    """(N, H, W, C) uint8/float32 → (N, Hp, Wp, C) float32, normalized
+    ``x/127.5 - 1`` and padded to multiples of 32 with ``pad_value``."""
+    n, h, w, c = stack.shape
+    hp = h + (32 - h % 32) % 32
+    wp = w + (32 - w % 32) % 32
+    lib = _load()
+    if lib is None:
+        out = np.asarray(stack, dtype=np.float32) / 127.5 - 1.0
+        return np.pad(
+            out, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)), constant_values=pad_value
+        )
+    dst = np.empty((n, hp, wp, c), dtype=np.float32)
+    if stack.dtype == np.uint8:
+        lib.dffxio_normalize_pad_stack(
+            np.ascontiguousarray(stack), dst, n, h, w, c, hp, wp, pad_value, threads
+        )
+    else:
+        lib.dffxio_normalize_pad_stack_f32(
+            np.ascontiguousarray(stack, dtype=np.float32), dst, n, h, w, c, hp, wp,
+            pad_value, threads,
+        )
+    return dst
+
+
+def hwcn_to_nhwc_normalize(stack: np.ndarray, threads: int = 4) -> np.ndarray:
+    """(H, W, C, N) float64 → (N, H, W, C) float32 normalized ``x/127.5-1``."""
+    lib = _load()
+    if lib is None:
+        return np.ascontiguousarray(
+            (stack / 127.5 - 1.0).transpose(3, 0, 1, 2)
+        ).astype(np.float32)
+    h, w, c, n = stack.shape
+    dst = np.empty((n, h, w, c), dtype=np.float32)
+    lib.dffxio_hwcn_to_nhwc_normalize(
+        np.ascontiguousarray(stack, dtype=np.float64), dst, h, w, c, n, threads
+    )
+    return dst

@@ -303,3 +303,24 @@ def test_loader_batching(fs6_dir):
     assert len(batches) == 1
     assert batches[0]["fs"].shape == (2, 5, 256, 256, 3)
     assert batches[0]["focus_dists"].shape == (2, 5)
+
+
+def test_native_io_matches_numpy(rng):
+    from dffx.data import native
+
+    stack = rng.integers(0, 256, (5, 47, 72, 3)).astype(np.uint8)
+    out = native.normalize_pad_stack(stack)
+    ref = np.pad(
+        stack.astype(np.float32) / 127.5 - 1.0,
+        ((0, 0), (0, 17), (0, 24), (0, 0)),
+        constant_values=-1.0,
+    )
+    assert out.shape == (5, 64, 96, 3)
+    np.testing.assert_array_equal(out, ref)
+
+    hwcn = rng.uniform(0, 255, (32, 40, 3, 5))
+    np.testing.assert_allclose(
+        native.hwcn_to_nhwc_normalize(hwcn),
+        ((hwcn / 127.5 - 1.0).transpose(3, 0, 1, 2)).astype(np.float32),
+        atol=1e-6,
+    )
