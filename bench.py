@@ -1,13 +1,17 @@
 """Headline benchmark: focal-stack inference throughput on one TPU chip.
 
-Workload matches BASELINE.json: DFFNet forward on a 10-slice 384x384 stack
+Workload matches BASELINE.json: DFFNet forward on 10-slice 384x384 stacks
 (the DDFF-12-shaped eval workload).  Prints ONE JSON line:
 
     {"metric": ..., "value": stacks/sec/chip, "unit": ..., "vs_baseline": x}
 
-``vs_baseline`` is the speedup over the reference PyTorch implementation run
-on CPU (the only hardware the reference can use here), measured once and
-cached in ``.bench_cpu_baseline.json``.  North star: >= 10x.
+Timing is *on-device*: K forwards are chained inside one XLA program through a
+data dependency (host-side timing of async dispatch through the TPU tunnel can
+be wrong by 100x — see dffx.utils.profiling.device_loop_time).  ``value`` is
+the best over batch sizes {1, 4} in bf16 with the Pallas fast path.
+``vs_baseline`` is the speedup over the reference PyTorch implementation on
+CPU (the only hardware the reference can use here), measured once and cached.
+North star: >= 10x.
 """
 
 import json
@@ -18,9 +22,6 @@ import time
 import numpy as np
 
 N, H, W = 10, 384, 384
-BATCH = 1
-WARMUP = 3
-ITERS = 20
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_baseline.json")
 
 
@@ -29,28 +30,30 @@ def bench_dffx() -> dict:
     import jax.numpy as jnp
 
     from dffx.models import Ctx, dffnet_apply, init_params, network_specs
+    from dffx.utils.profiling import device_loop_time, enable_persistent_cache
 
+    enable_persistent_cache()
     params = init_params(network_specs(), seed=0)
     rng = np.random.default_rng(0)
-    fs = jnp.asarray(rng.uniform(-1, 1, (BATCH, N, H, W, 3)).astype(np.float32))
-    fd = jnp.asarray(np.tile(np.linspace(0.2, 7.0, N, dtype=np.float32), (BATCH, 1)))
+    on_tpu = jax.devices()[0].platform == "tpu"
 
-    results = {}
-    for name, dtype in [("bf16", jnp.bfloat16), ("fp32", jnp.float32)]:
-        fwd = jax.jit(
-            lambda p, x, d, dt=dtype: dffnet_apply(p, x.astype(dt), d, Ctx(compute_dtype=dt))[3]
-        )
-        out = jax.block_until_ready(fwd(params, fs, fd))
-        assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
-        for _ in range(WARMUP):
-            jax.block_until_ready(fwd(params, fs, fd))
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = fwd(params, fs, fd)
-        jax.block_until_ready(out)
-        dt_s = (time.perf_counter() - t0) / ITERS
-        results[name] = BATCH / dt_s
-    results["platform"] = jax.devices()[0].platform
+    results = {"platform": jax.devices()[0].platform}
+    best = 0.0
+    # the Pallas FM kernel wins at batch 1 (latency path); XLA's batched conv
+    # lowering wins at batch 4 (throughput path) — measure each at its best
+    for batch, iters, pallas in [(1, 20, on_tpu), (4, 8, False)]:
+        fs = jnp.asarray(rng.uniform(-1, 1, (batch, N, H, W, 3)).astype(np.float32))
+        fd = jnp.asarray(np.tile(np.linspace(0.2, 7.0, N, dtype=np.float32), (batch, 1)))
+        ctx = Ctx(compute_dtype=jnp.bfloat16, use_pallas=pallas)
+
+        def fwd(x, p, d):
+            return dffnet_apply(p, x.astype(jnp.bfloat16), d, ctx)[3]
+
+        per = device_loop_time(fwd, fs, params, fd, iters=iters)
+        sps = batch / per
+        results[f"b{batch}_stacks_per_sec"] = round(sps, 2)
+        best = max(best, sps)
+    results["best"] = best
     return results
 
 
@@ -69,8 +72,8 @@ def bench_reference_cpu() -> float:
 
     torch.manual_seed(0)
     model = Network().eval()
-    fs = torch.rand(BATCH, 3, N, H, W) * 2 - 1
-    fd = torch.rand(BATCH, N, H, W)
+    fs = torch.rand(1, 3, N, H, W) * 2 - 1
+    fd = torch.rand(1, N, H, W)
     with torch.no_grad():
         model(fs, fd)  # warmup
         t0 = time.perf_counter()
@@ -78,7 +81,7 @@ def bench_reference_cpu() -> float:
         for _ in range(iters):
             model(fs, fd)
         per = (time.perf_counter() - t0) / iters
-    sps = BATCH / per
+    sps = 1.0 / per
     with open(CACHE, "w") as f:
         json.dump({"stacks_per_sec": sps, "seconds_per_stack": per}, f)
     return sps
@@ -87,16 +90,17 @@ def bench_reference_cpu() -> float:
 def main():
     ours = bench_dffx()
     base = bench_reference_cpu()
-    value = ours["bf16"]
+    value = ours["best"]
     vs = value / base if base == base else None  # NaN-safe
     print(
         json.dumps(
             {
-                "metric": "focal stacks/sec/chip (10x384x384 DFFNet fwd, bf16)",
-                "value": round(value, 3),
+                "metric": "focal stacks/sec/chip (10x384x384 DFFNet fwd, bf16, on-device timed)",
+                "value": round(value, 2),
                 "unit": "stacks/s",
                 "vs_baseline": round(vs, 2) if vs is not None else None,
-                "fp32_stacks_per_sec": round(ours["fp32"], 3),
+                "b1_stacks_per_sec": ours.get("b1_stacks_per_sec"),
+                "b4_stacks_per_sec": ours.get("b4_stacks_per_sec"),
                 "torch_cpu_stacks_per_sec": round(base, 4) if base == base else None,
                 "platform": ours["platform"],
             }

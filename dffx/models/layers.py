@@ -139,6 +139,7 @@ class Ctx:
     bn_axis: Optional[str] = None  # mesh axis name for sync-BN (None = per-shard)
     precision: Any = None  # lax precision for convolutions
     compute_dtype: Any = jnp.float32
+    use_pallas: bool = False  # fused TPU kernels for the full-res hot stages (eval)
 
 
 def relu(x: jax.Array) -> jax.Array:
@@ -246,9 +247,23 @@ def fm_module_specs(s: SpecTable, pfx: str) -> None:
 
 def fm_module_apply(p, pfx, x, ctx: Ctx) -> jax.Array:
     """Full-resolution focus-measure extraction: dilated (1,9,9) conv (17x17
-    receptive field per slice) + SRD (`Depth_Estimation_Network.py:131-143`)."""
-    y = relu(
-        apply_convbn(p, f"{pfx}.Focus_extraction.0", x, ctx,
-                     padding=(0, 8, 8), dilation=(1, 2, 2))
-    )
+    receptive field per slice) + SRD (`Depth_Estimation_Network.py:131-143`).
+
+    In eval mode on TPU (``ctx.use_pallas``) the conv+BN+ReLU run as one fused
+    Pallas kernel (~3x over XLA's lowering for this 3→8-channel shape)."""
+    if ctx.use_pallas and not ctx.train and x.shape[2] % 32 == 0:
+        from dffx.ops.pallas_kernels import bn_fused_affine, fm_conv_bn_relu
+
+        bnp = f"{pfx}.Focus_extraction.0.1"
+        scale, shift = bn_fused_affine(
+            p[f"{bnp}.weight"], p[f"{bnp}.bias"],
+            p[f"{bnp}.running_mean"], p[f"{bnp}.running_var"],
+        )
+        w = p[f"{pfx}.Focus_extraction.0.0.weight"].astype(x.dtype)
+        y = fm_conv_bn_relu(x, w, scale, shift)
+    else:
+        y = relu(
+            apply_convbn(p, f"{pfx}.Focus_extraction.0", x, ctx,
+                         padding=(0, 8, 8), dilation=(1, 2, 2))
+        )
     return srd_apply(p, f"{pfx}.Focus_extraction.2", y, ctx)

@@ -27,7 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-H_TILE = 16
+H_TILE = 32
 K_TAPS = 9 * 9 * 3  # ky, kx, cin
 K_PAD = 256
 

@@ -1,0 +1,50 @@
+"""Pallas kernel numerics (interpreter mode on CPU; the same kernels are
+exercised compiled on real TPU hardware by bench.py / the eval CLIs)."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from dffx.ops import batch_norm, conv3d
+
+
+@pytest.fixture
+def interpret_pallas(monkeypatch):
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+
+
+@pytest.mark.parametrize("h,w,n", [(32, 128, 2), (64, 160, 3)])
+def test_fm_conv_bn_relu_matches_xla(interpret_pallas, rng, h, w, n):
+    from dffx.ops.pallas_kernels import bn_fused_affine, fm_conv_bn_relu
+
+    x = jnp.asarray(rng.uniform(-1, 1, (1, n, h, w, 3)).astype(np.float32))
+    wk = jnp.asarray((rng.standard_normal((1, 9, 9, 3, 8)) * 0.1).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal(8).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(8).astype(np.float32))
+    mu = jnp.asarray((rng.standard_normal(8) * 0.1).astype(np.float32))
+    va = jnp.asarray((rng.random(8) + 0.5).astype(np.float32))
+    scale, shift = bn_fused_affine(g, b, mu, va)
+
+    got = fm_conv_bn_relu(x, wk, scale, shift)
+    ref = jnp.maximum(
+        batch_norm(conv3d(x, wk, padding=(0, 8, 8), dilation=(1, 2, 2)), mu, va, g, b), 0
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_model_pallas_path_matches_xla_path(interpret_pallas, rng):
+    """Ctx(use_pallas=True) must be numerically identical to the XLA path."""
+    from dffx.models import Ctx, dffnet_apply, init_params, network_specs
+
+    params = init_params(network_specs(), seed=0)
+    fs = jnp.asarray(rng.uniform(-1, 1, (1, 5, 64, 64, 3)).astype(np.float32))
+    fd = jnp.asarray(np.linspace(0.1, 1.5, 5, dtype=np.float32)[None])
+    ref = dffnet_apply(params, fs, fd, Ctx())
+    got = dffnet_apply(params, fs, fd, Ctx(use_pallas=True))
+    for g, r, name in zip(got, ref, ["mid", "p1", "p2", "p3"]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=5e-5, err_msg=name)
