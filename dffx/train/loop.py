@@ -118,24 +118,39 @@ def make_train_step(
     e2e: bool = False,
     compute_dtype=jnp.float32,
     donate: bool = True,
+    remat: bool = False,
 ) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the jitted train step.
 
     The returned function takes ``(state, batch)`` where batch holds
     ``fs (B,N,H,W,3)``, ``depth (B,H,W)``, ``focus_dists (B,N)``,
     ``mask (B,H,W)`` and optionally ``conf`` / ``fovs``.
+
+    ``remat=True`` wraps the forward in ``jax.checkpoint`` (dot-saveable
+    policy): the full-resolution activations (FM_result is 8ch x N x H x W and
+    is concatenated late — SURVEY.md §7 hard part 5) are recomputed in the
+    backward pass instead of living in HBM, trading ~30% FLOPs for the memory
+    that large crops / big batches need.
     """
 
-    def loss_fn(trainables, stats, batch):
-        params = {**trainables, **stats}
+    def forward(params, fs, batch):
         new_stats: Dict[str, jax.Array] = {}
         ctx = Ctx(train=True, new_stats=new_stats, compute_dtype=compute_dtype)
-        fs = batch["fs"].astype(compute_dtype)
         if e2e:
             outs = e2e_apply(params, fs, batch["focus_dists"], batch["fovs"], ctx)
         else:
             outs = dffnet_apply(params, fs, batch["focus_dists"], ctx)
-        outs = tuple(o.astype(jnp.float32) for o in outs[:4])
+        return tuple(o.astype(jnp.float32) for o in outs[:4]), new_stats
+
+    if remat:
+        forward = jax.checkpoint(
+            forward, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+
+    def loss_fn(trainables, stats, batch):
+        params = {**trainables, **stats}
+        fs = batch["fs"].astype(compute_dtype)
+        outs, new_stats = forward(params, fs, batch)
         total, logs = total_loss(outs, batch, loss_cfg)
         return total, (new_stats, logs)
 

@@ -1,0 +1,100 @@
+"""Training-step correctness: loss math vs the reference recipes, remat
+equivalence, end-to-end (alignment) training, checkpoint save/load roundtrip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dffx import checkpoint as ckpt
+from dffx.models import e2e_network_specs, init_params, network_specs
+from dffx.train import LossConfig, create_train_state, make_train_step, masked_mse
+from dffx.train.recipes import RECIPES
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    b, n, h, w = 2, 5, 32, 32
+    return {
+        "fs": jnp.asarray(rng.uniform(-1, 1, (b, n, h, w, 3)).astype(np.float32)),
+        "depth": jnp.asarray(rng.uniform(0.1, 1.5, (b, h, w)).astype(np.float32)),
+        "focus_dists": jnp.asarray(
+            np.tile(np.linspace(0.1, 1.5, n, dtype=np.float32), (b, 1))
+        ),
+        "mask": jnp.asarray(rng.random((b, h, w)) > 0.2),
+        "conf": jnp.asarray(rng.random((b, h, w)).astype(np.float32)),
+    }
+
+
+def test_masked_mse_matches_torch_semantics(rng):
+    import torch
+
+    est = rng.standard_normal((2, 16, 16)).astype(np.float32)
+    gt = rng.standard_normal((2, 16, 16)).astype(np.float32)
+    mask = rng.random((2, 16, 16)) > 0.4
+    got = float(masked_mse(jnp.asarray(est), jnp.asarray(gt), jnp.asarray(mask)))
+    want = torch.nn.MSELoss()(
+        torch.from_numpy(est)[torch.from_numpy(mask)],
+        torch.from_numpy(gt)[torch.from_numpy(mask)],
+    ).item()
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_recipes_cover_all_five_references():
+    assert set(RECIPES) == {"DDFF", "HCI", "Defocus", "FlyingThings", "Smartphone"}
+    hci = RECIPES["HCI"]
+    assert hci.loss.norm_range == (-2.5, 2.5) and not hci.loss.normalize_mid
+    assert RECIPES["FlyingThings"].loss.norm_range == (10.0, 100.0)
+    assert RECIPES["FlyingThings"].max_epoch == 2500
+    assert RECIPES["Smartphone"].loss.conf_weighted
+    assert RECIPES["DDFF"].loss.weights == (0.3, 0.5, 0.7, 1.0)
+
+
+def test_remat_step_matches_plain(batch):
+    params = init_params(network_specs(), seed=0)
+    s0 = create_train_state(params, lr=1e-3)
+    plain = make_train_step(1e-3, LossConfig(), donate=False)
+    remat = make_train_step(1e-3, LossConfig(), donate=False, remat=True)
+    _, logs_a = plain(s0, batch)
+    s0b = create_train_state(init_params(network_specs(), seed=0), lr=1e-3)
+    _, logs_b = remat(s0b, batch)
+    np.testing.assert_allclose(float(logs_a["loss"]), float(logs_b["loss"]), rtol=1e-6)
+
+
+def test_e2e_train_step_runs_and_updates_alignment():
+    params = init_params(e2e_network_specs(), seed=0)
+    state = create_train_state(params, lr=1e-3)
+    rng = np.random.default_rng(1)
+    b, n, h, w = 1, 10, 32, 32  # N must be 10: the motion heads pool to 10 vectors
+    e2e_batch = {
+        "fs": jnp.asarray(rng.uniform(-1, 1, (b, n, h, w, 3)).astype(np.float32)),
+        "depth": jnp.asarray(rng.uniform(0.1, 1.5, (b, h, w)).astype(np.float32)),
+        "focus_dists": jnp.asarray(
+            np.tile(np.linspace(0.1, 1.5, n, dtype=np.float32), (b, 1))
+        ),
+        "mask": jnp.ones((b, h, w), bool),
+        "fovs": jnp.asarray(np.tile(np.linspace(1.0, 1.02, n, dtype=np.float32), (b, 1))),
+    }
+    step = make_train_step(1e-3, LossConfig(), e2e=True, donate=False)
+    new_state, logs = step(state, e2e_batch)
+    assert np.isfinite(float(logs["loss"]))
+    key = "optical_flow_aggregation.conv1.6.weight"
+    moved = np.abs(
+        np.asarray(new_state.params[key]) - np.asarray(state.params[key])
+    ).max()
+    assert moved > 0, "alignment head did not receive gradient through the warp"
+
+
+def test_checkpoint_roundtrip(tmp_path, batch):
+    params = init_params(network_specs(), seed=0)
+    state = create_train_state(params, lr=1e-3)
+    step = make_train_step(1e-3, LossConfig(), donate=False)
+    state, _ = step(state, batch)
+    path = str(tmp_path / "models" / "1.ckpt")
+    ckpt.save(path, {"step": state.step, "params": state.params, "opt_state": state.opt_state})
+    blob = ckpt.load(path)
+    assert int(blob["step"]) == 1
+    for k, v in state.params.items():
+        np.testing.assert_array_equal(blob["params"][k], np.asarray(v))
