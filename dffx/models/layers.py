@@ -218,9 +218,55 @@ def srd_specs(s: SpecTable, pfx: str, c: int) -> None:
     conv_spec(s, f"{pfx}.N_ch_attention.2", c, c, (1, 1, 1))
 
 
+def _srd_pallas_ok(ctx: Ctx, x) -> bool:
+    return ctx.use_pallas and not ctx.train and x.shape[2] % 16 == 0 and x.shape[-1] <= 32
+
+
+def _srd_apply_cf(p, pfx, xs, b: int, n: int, ctx: Ctx) -> jax.Array:
+    """Channel-first fused SRD: xs (B*N, C, H, W) → same.  Chains the residual
+    conv pair and the focus-axis attention kernels without layout transposes."""
+    from dffx.ops.pallas_kernels import (
+        bn_fused_affine,
+        rb2d_residual_cf,
+        srd_attention_residual_cf,
+    )
+
+    c = xs.shape[1]
+    rb = f"{pfx}.Focus_Measure.conv"
+    aff1 = bn_fused_affine(
+        p[f"{rb}.0.1.weight"], p[f"{rb}.0.1.bias"],
+        p[f"{rb}.0.1.running_mean"], p[f"{rb}.0.1.running_var"],
+    )
+    aff2 = bn_fused_affine(
+        p[f"{rb}.2.1.weight"], p[f"{rb}.2.1.bias"],
+        p[f"{rb}.2.1.running_mean"], p[f"{rb}.2.1.running_var"],
+    )
+    f = rb2d_residual_cf(
+        xs, p[f"{rb}.0.0.weight"].astype(xs.dtype), aff1,
+        p[f"{rb}.2.0.weight"].astype(xs.dtype), aff2,
+    )
+    h, wd = f.shape[2], f.shape[3]
+    out = srd_attention_residual_cf(
+        f.reshape(b, n * c, h, wd),
+        p[f"{pfx}.N_ch_attention.0.weight"].astype(xs.dtype),
+        p[f"{pfx}.N_ch_attention.2.weight"].astype(xs.dtype),
+        n=n, c=c,
+    )
+    return out.reshape(b * n, c, h, wd)
+
+
 def srd_apply(p, pfx, x, ctx: Ctx) -> jax.Array:
     """Stack-reduction block: spatial residual features plus additive focus-axis
-    attention (`Depth_Estimation_Network.py:317-330`)."""
+    attention (`Depth_Estimation_Network.py:317-330`).
+
+    Eval mode on TPU (``ctx.use_pallas``): runs as two fused Pallas kernels
+    (residual conv pair, then attention) — XLA's lowering of these tiny-channel
+    (1,3,3)/(3,1,1) convs is ~20x off the bandwidth bound."""
+    if _srd_pallas_ok(ctx, x):
+        b, n, h, wd, c = x.shape
+        xs = x.reshape(b * n, h, wd, c).transpose(0, 3, 1, 2)
+        out = _srd_apply_cf(p, pfx, xs, b, n, ctx)
+        return out.transpose(0, 2, 3, 1).reshape(b, n, h, wd, c)
     f = resnet_block_2d_apply(p, f"{pfx}.Focus_Measure", x, ctx)
     a = relu(apply_conv(p, f"{pfx}.N_ch_attention.0", f, ctx, padding=(1, 0, 0)))
     a = relu(apply_conv(p, f"{pfx}.N_ch_attention.2", a, ctx))
@@ -249,21 +295,25 @@ def fm_module_apply(p, pfx, x, ctx: Ctx) -> jax.Array:
     """Full-resolution focus-measure extraction: dilated (1,9,9) conv (17x17
     receptive field per slice) + SRD (`Depth_Estimation_Network.py:131-143`).
 
-    In eval mode on TPU (``ctx.use_pallas``) the conv+BN+ReLU run as one fused
-    Pallas kernel (~3x over XLA's lowering for this 3→8-channel shape)."""
+    In eval mode on TPU (``ctx.use_pallas``) the dilated conv+BN+ReLU and the
+    SRD run as chained channel-first Pallas kernels — one layout transpose in
+    (3-channel input, cheap) and one out, instead of one per kernel."""
     if ctx.use_pallas and not ctx.train and x.shape[2] % 32 == 0:
-        from dffx.ops.pallas_kernels import bn_fused_affine, fm_conv_bn_relu
+        from dffx.ops.pallas_kernels import bn_fused_affine, fm_conv_bn_relu_cf
 
+        b, n, h, wd, _ = x.shape
         bnp = f"{pfx}.Focus_extraction.0.1"
         scale, shift = bn_fused_affine(
             p[f"{bnp}.weight"], p[f"{bnp}.bias"],
             p[f"{bnp}.running_mean"], p[f"{bnp}.running_var"],
         )
         w = p[f"{pfx}.Focus_extraction.0.0.weight"].astype(x.dtype)
-        y = fm_conv_bn_relu(x, w, scale, shift)
-    else:
-        y = relu(
-            apply_convbn(p, f"{pfx}.Focus_extraction.0", x, ctx,
-                         padding=(0, 8, 8), dilation=(1, 2, 2))
-        )
+        xs = x.reshape(b * n, h, wd, 3).transpose(0, 3, 1, 2)
+        y = fm_conv_bn_relu_cf(xs, w, scale, shift)  # (BN, 8, H, W)
+        out = _srd_apply_cf(p, f"{pfx}.Focus_extraction.2", y, b, n, ctx)
+        return out.transpose(0, 2, 3, 1).reshape(b, n, h, wd, 8)
+    y = relu(
+        apply_convbn(p, f"{pfx}.Focus_extraction.0", x, ctx,
+                     padding=(0, 8, 8), dilation=(1, 2, 2))
+    )
     return srd_apply(p, f"{pfx}.Focus_extraction.2", y, ctx)

@@ -27,6 +27,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
+def _dot_precision(dtype):
+    """fp32 inputs need HIGHEST (3-pass bf16) MXU precision to behave like
+    fp32; bf16 inputs use the default single pass."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
 H_TILE = 32
 K_TAPS = 9 * 9 * 3  # ky, kx, cin
 K_PAD = 256
@@ -64,6 +71,7 @@ def _fm_conv_kernel(x_ref, w_ref, scale_ref, shift_ref, o_ref, window, patches):
         patches[:],
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_dot_precision(patches.dtype),
     )  # (8, H_TILE, W)
     y = acc * scale_ref[:, 0][:, None, None] + shift_ref[:, 0][:, None, None]
     y = jnp.maximum(y, 0.0)
@@ -81,17 +89,25 @@ def fm_conv_bn_relu(x: jax.Array, w: jax.Array, scale: jax.Array, shift: jax.Arr
     Returns ``(B, N, H, W, 8)`` in x.dtype.
     """
     b, n, h, width, _ = x.shape
-    assert h % H_TILE == 0, (h, H_TILE)
     xs = x.reshape(b * n, h, width, 3).transpose(0, 3, 1, 2)  # (BN, 3, H, W)
+    out = fm_conv_bn_relu_cf(xs, w, scale, shift)
+    return out.transpose(0, 2, 3, 1).reshape(b, n, h, width, 8)
+
+
+def fm_conv_bn_relu_cf(xs: jax.Array, w, scale, shift) -> jax.Array:
+    """Channel-first core: (BN, 3, H, W) -> (BN, 8, H, W).  Chain with the SRD
+    kernels without intermediate layout transposes."""
+    bn_, _, h, width = xs.shape
+    assert h % H_TILE == 0, (h, H_TILE)
     xp = jnp.pad(xs, ((0, 0), (0, 0), (8, 8), (8, 8)))
 
     wk = jnp.zeros((K_PAD, 8), w.dtype)
     wk = wk.at[:K_TAPS].set(w[0].reshape(K_TAPS, 8))
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _fm_conv_kernel,
-        out_shape=jax.ShapeDtypeStruct((b * n, 8, h, width), x.dtype),
-        grid=(b * n, h // H_TILE),
+        out_shape=jax.ShapeDtypeStruct((bn_, 8, h, width), xs.dtype),
+        grid=(bn_, h // H_TILE),
         in_specs=[
             pl.BlockSpec((1, 3, h + 16, width + 16), lambda i, t: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -102,16 +118,15 @@ def fm_conv_bn_relu(x: jax.Array, w: jax.Array, scale: jax.Array, shift: jax.Arr
         out_specs=pl.BlockSpec((1, 8, H_TILE, width), lambda i, t: (i, 0, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((3, H_TILE + 16, width + 16), x.dtype),
-            pltpu.VMEM((K_PAD, H_TILE, width), x.dtype),
+            pltpu.VMEM((3, H_TILE + 16, width + 16), xs.dtype),
+            pltpu.VMEM((K_PAD, H_TILE, width), xs.dtype),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * h * width * K_TAPS * 8,
+            flops=2 * bn_ * h * width * K_TAPS * 8,
             bytes_accessed=xs.size * xs.dtype.itemsize * 2,
             transcendentals=0,
         ),
-    )(xp, wk.astype(x.dtype), scale.reshape(8, 1), shift.reshape(8, 1))
-    return out.transpose(0, 2, 3, 1).reshape(b, n, h, width, 8)
+    )(xp, wk.astype(xs.dtype), scale.reshape(8, 1), shift.reshape(8, 1))
 
 
 def bn_fused_affine(weight, bias, mean, var, eps: float = 1e-5) -> Tuple[jax.Array, jax.Array]:
@@ -120,3 +135,221 @@ def bn_fused_affine(weight, bias, mean, var, eps: float = 1e-5) -> Tuple[jax.Arr
     scale = weight.astype(jnp.float32) * inv
     shift = bias.astype(jnp.float32) - mean.astype(jnp.float32) * scale
     return scale, shift
+
+
+# ---------------------------------------------------------------------------
+# SRD fusion: residual (1,3,3) conv pair + focus-axis attention
+# (`Depth_Estimation_Network.py:295-330`).  Two kernels:
+#   A. rb2d: relu(x + bn2(conv2(relu(bn1(conv1(x)))))) — per-slice spatial.
+#   B. attention: f + relu(W2 @ relu(Wn @ cat(f[n-1], f[n], f[n+1]))) — mixes
+#      the focus axis, no spatial halo, so tiles are exact (no dynamic offsets).
+# ---------------------------------------------------------------------------
+
+RB_H_TILE = 16
+
+
+def _rb2d_kernel(x_ref, w1_ref, w2_ref, s1_ref, b1_ref, s2_ref, b2_ref, o_ref,
+                 window, patches, patches2, r1, *, c: int, w_real: int,
+                 high_precision: bool):
+    """Grid (B*N, tiles).  x_ref (1, C, H+4, W+4) padded slice; o_ref
+    (1, C, RB_H_TILE, W); w1/w2 (9C pad, C); aff (4, C) = bn1 scale/shift,
+    bn2 scale/shift; window (C, T+4, W+4); patches (9C pad, T+2, W);
+    patches2 (9C pad, T, W); r1 (C, T+2, W).
+
+    Mosaic (as deployed) constraints honored here: one dynamic-offset copy,
+    full-region stores only, and every stored slice's lane extent a multiple
+    of 128 (W is; W+2 is not — so conv1 runs at width W and conv2's column
+    halo, which is zero by construction, is realized with pltpu.roll + masks).
+    """
+    wd = o_ref.shape[3]
+    t = pl.program_id(1)
+    base = pl.multiple_of(t * RB_H_TILE, RB_H_TILE)
+    kpad = patches.shape[0]
+    window[:, :, :] = x_ref[0, :, pl.ds(base, RB_H_TILE + 4), :].astype(window.dtype)
+    prec = jax.lax.Precision.HIGHEST if high_precision else None
+
+    # conv1 on (T+2 rows, W cols): rows give conv2 its vertical halo locally
+    patches[9 * c :, :, :] = jnp.zeros((kpad - 9 * c, RB_H_TILE + 2, wd), patches.dtype)
+    patches2[9 * c :, :, :] = jnp.zeros((kpad - 9 * c, RB_H_TILE, wd), patches2.dtype)
+    for ci in range(c):
+        for ky in range(3):
+            for kx in range(3):
+                # output row r (local, -1-based) uses window row r+ky; output
+                # col j uses window col j+1+kx  (window origin = orig - 2)
+                patches[ci * 9 + ky * 3 + kx, :, :] = window[
+                    ci, ky : ky + RB_H_TILE + 2, kx + 1 : kx + 1 + wd
+                ]
+    acc = jax.lax.dot_general(
+        w1_ref[:], patches[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # (C, T+2, W)
+    y = jnp.maximum(
+        acc * s1_ref[:, 0][:, None, None] + b1_ref[:, 0][:, None, None], 0.0
+    )
+    # conv2 zero-pads its input: top/bottom tile-edge rows beyond the image,
+    # and (when W was lane-padded) columns past the true width
+    row = jax.lax.broadcasted_iota(jnp.int32, (RB_H_TILE + 2, wd), 0)
+    colf = jax.lax.broadcasted_iota(jnp.int32, (RB_H_TILE + 2, wd), 1)
+    valid = ((row >= 1) | (t != 0)) & (
+        (row <= RB_H_TILE) | (t != pl.num_programs(1) - 1)
+    ) & (colf < w_real)
+    r1[:, :, :] = jnp.where(valid[None], y, 0.0).astype(r1.dtype)
+
+    # conv2 on (T, W); column halo (zeros) via lane roll + edge masks
+    col = jax.lax.broadcasted_iota(jnp.int32, (RB_H_TILE, wd), 1)
+    for ci in range(c):
+        for ky in range(3):
+            v = r1[ci, ky : ky + RB_H_TILE, :]
+            patches2[ci * 9 + ky * 3 + 0, :, :] = jnp.where(
+                col >= 1, pltpu.roll(v, 1, axis=1), 0.0
+            ).astype(patches2.dtype)
+            patches2[ci * 9 + ky * 3 + 1, :, :] = v
+            patches2[ci * 9 + ky * 3 + 2, :, :] = jnp.where(
+                col <= w_real - 2, pltpu.roll(v, wd - 1, axis=1), 0.0
+            ).astype(patches2.dtype)
+    acc2 = jax.lax.dot_general(
+        w2_ref[:], patches2[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # (C, T, W)
+    y2 = acc2 * s2_ref[:, 0][:, None, None] + b2_ref[:, 0][:, None, None]
+    center = window[:, 2 : 2 + RB_H_TILE, 2 : 2 + wd].astype(jnp.float32)
+    o_ref[0, :, :, :] = jnp.maximum(center + y2, 0.0).astype(o_ref.dtype)
+
+
+def _pack_conv33(w: jax.Array, kpad: int, dtype) -> jax.Array:
+    """(1,3,3,C,C) DHWIO → (kpad, C) with K index ci*9 + ky*3 + kx."""
+    c = w.shape[3]
+    wk = jnp.zeros((kpad, c), dtype)
+    flat = w[0].transpose(2, 0, 1, 3).reshape(9 * c, c)  # (ci, ky, kx) -> rows
+    return wk.at[: 9 * c].set(flat.astype(dtype))
+
+
+def rb2d_residual(x: jax.Array, w1, aff1, w2, aff2) -> jax.Array:
+    """Fused ``resnet_block_2d`` eval forward.
+
+    x: (B, N, H, W, C); w1/w2: (1,3,3,C,C); aff = (scale, shift) fp32 pairs.
+    """
+    b, n, h, wd, c = x.shape
+    xs = x.reshape(b * n, h, wd, c).transpose(0, 3, 1, 2)
+    out = rb2d_residual_cf(xs, w1, aff1, w2, aff2)
+    return out.transpose(0, 2, 3, 1).reshape(b, n, h, wd, c)
+
+
+def rb2d_residual_cf(xs: jax.Array, w1, aff1, w2, aff2) -> jax.Array:
+    """Channel-first core: (BN, C, H, W) -> (BN, C, H, W)."""
+    bn_, c, h, wd = xs.shape
+    assert h % RB_H_TILE == 0
+    kpad = -(-9 * c // 128) * 128  # pad K to the lane width
+    wp = -(-wd // 128) * 128  # stored lane extents must be 128-multiples
+    xp = jnp.pad(xs, ((0, 0), (0, 0), (2, 2), (2, 2 + wp - wd)))
+
+    kernel = functools.partial(
+        _rb2d_kernel, c=c, w_real=wd, high_precision=(xs.dtype == jnp.float32)
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bn_, c, h, wp), xs.dtype),
+        grid=(bn_, h // RB_H_TILE),
+        in_specs=[
+            pl.BlockSpec((1, c, h + 4, wp + 4), lambda i, t: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kpad, c), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kpad, c), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, RB_H_TILE, wp), lambda i, t: (i, 0, t, 0),
+                               memory_space=pltpu.VMEM),
+        # fp32 scratches always: bf16's (16, 128) tiling rejects the T+2=18
+        # sublane extents that fp32's (8, 128) tolerates
+        scratch_shapes=[
+            pltpu.VMEM((c, RB_H_TILE + 4, wp + 4), jnp.float32),
+            pltpu.VMEM((kpad, RB_H_TILE + 2, wp), jnp.float32),
+            pltpu.VMEM((kpad, RB_H_TILE, wp), jnp.float32),
+            pltpu.VMEM((c, RB_H_TILE + 2, wp), jnp.float32),
+        ],
+    )(xp, _pack_conv33(w1, kpad, jnp.float32), _pack_conv33(w2, kpad, jnp.float32),
+      aff1[0].reshape(c, 1).astype(jnp.float32), aff1[1].reshape(c, 1).astype(jnp.float32),
+      aff2[0].reshape(c, 1).astype(jnp.float32), aff2[1].reshape(c, 1).astype(jnp.float32))
+    return out[:, :, :, :wd]
+
+
+def _srd_attn_kernel(f_ref, wn_ref, w1_ref, o_ref, cat, *, n: int, c: int):
+    """Grid (B, tiles).  f_ref/o_ref (1, N*C, T, W); wn (3C pad, C) for the
+    (3,1,1) conv (K index dn*C + ci); w1 (C pad, C) for the 1x1; cat
+    (3C pad, T, W) scratch.  out = f + relu(W1 @ relu(Wn @ cat(f)))."""
+    wd = o_ref.shape[3]
+    tdim = o_ref.shape[2]
+    kpad = cat.shape[0]
+    if kpad > 3 * c:
+        cat[3 * c :, :, :] = jnp.zeros((kpad - 3 * c, tdim, wd), cat.dtype)
+    for ni in range(n):
+        for dn in range(3):
+            src = ni + dn - 1
+            if 0 <= src < n:
+                cat[dn * c : (dn + 1) * c, :, :] = f_ref[0, src * c : (src + 1) * c, :, :]
+            else:
+                cat[dn * c : (dn + 1) * c, :, :] = jnp.zeros((c, tdim, wd), cat.dtype)
+        a = jax.lax.dot_general(
+            wn_ref[:], cat[:], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(cat.dtype),
+        )
+        a = jnp.maximum(a, 0.0).astype(f_ref.dtype)
+        a2 = jax.lax.dot_general(
+            w1_ref[: c, :], a, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(a.dtype),
+        )
+        a2 = jnp.maximum(a2, 0.0)
+        o_ref[0, ni * c : (ni + 1) * c, :, :] = (
+            f_ref[0, ni * c : (ni + 1) * c, :, :].astype(jnp.float32) + a2
+        ).astype(o_ref.dtype)
+
+
+def srd_attention_residual(f: jax.Array, wn: jax.Array, w1: jax.Array) -> jax.Array:
+    """Fused SRD focus-axis attention: ``f + relu(conv1x1(relu(conv311(f))))``.
+
+    f: (B, N, H, W, C); wn: (3,1,1,C,C); w1: (1,1,1,C,C) (both bias-free).
+    """
+    b, n, h, wd, c = f.shape
+    fs = f.transpose(0, 1, 4, 2, 3).reshape(b, n * c, h, wd)
+    out = srd_attention_residual_cf(fs, wn, w1, n=n, c=c)
+    return out.reshape(b, n, c, h, wd).transpose(0, 1, 3, 4, 2)
+
+
+def srd_attention_residual_cf(fs: jax.Array, wn, w1, *, n: int, c: int) -> jax.Array:
+    """Channel-first core: (B, N*C, H, W) -> same."""
+    b, _, h, wd = fs.shape
+    f = fs  # naming convenience for dtype below
+    assert h % RB_H_TILE == 0
+    kpad = -(-3 * c // 8) * 8
+    wp = -(-wd // 128) * 128  # lane-extent constraint; padded cols stay zero
+    if wp != wd:
+        fs = jnp.pad(fs, ((0, 0), (0, 0), (0, 0), (0, wp - wd)))
+    # wn (3,1,1,C,C): K index dn*C + ci
+    wn_k = jnp.zeros((kpad, c), f.dtype)
+    wn_k = wn_k.at[: 3 * c].set(wn[:, 0, 0].reshape(3 * c, c).astype(f.dtype))
+    w1_k = w1[0, 0, 0].astype(f.dtype)  # (C, C)
+
+    kernel = functools.partial(_srd_attn_kernel, n=n, c=c)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n * c, h, wp), f.dtype),
+        grid=(b, h // RB_H_TILE),
+        in_specs=[
+            pl.BlockSpec((1, n * c, RB_H_TILE, wp), lambda i, t: (i, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kpad, c), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n * c, RB_H_TILE, wp), lambda i, t: (i, 0, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((kpad, RB_H_TILE, wp), f.dtype)],
+    )(fs, wn_k, w1_k)
+    return out[:, :, :, :wd]

@@ -48,3 +48,35 @@ def test_model_pallas_path_matches_xla_path(interpret_pallas, rng):
     got = dffnet_apply(params, fs, fd, Ctx(use_pallas=True))
     for g, r, name in zip(got, ref, ["mid", "p1", "p2", "p3"]):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=5e-5, err_msg=name)
+
+
+def test_srd_kernels_match_xla(interpret_pallas, rng):
+    from dffx.ops.pallas_kernels import bn_fused_affine, rb2d_residual, srd_attention_residual
+
+    for c, h, w, n in [(8, 32, 128, 2), (16, 32, 64, 3)]:
+        x = jnp.asarray(rng.uniform(-1, 1, (1, n, h, w, c)).astype(np.float32))
+        w1 = jnp.asarray((rng.standard_normal((1, 3, 3, c, c)) * 0.1).astype(np.float32))
+        w2 = jnp.asarray((rng.standard_normal((1, 3, 3, c, c)) * 0.1).astype(np.float32))
+        bn1 = [rng.standard_normal(c).astype(np.float32) for _ in range(2)] + [
+            (rng.standard_normal(c) * 0.1).astype(np.float32),
+            (rng.random(c) + 0.5).astype(np.float32),
+        ]
+        bn2 = [rng.standard_normal(c).astype(np.float32) for _ in range(2)] + [
+            (rng.standard_normal(c) * 0.1).astype(np.float32),
+            (rng.random(c) + 0.5).astype(np.float32),
+        ]
+        a1, a2 = bn_fused_affine(*bn1), bn_fused_affine(*bn2)
+        got = rb2d_residual(x, w1, a1, w2, a2)
+        r = jnp.maximum(
+            batch_norm(conv3d(x, w1, padding=(0, 1, 1)), bn1[2], bn1[3], bn1[0], bn1[1]), 0
+        )
+        r = batch_norm(conv3d(r, w2, padding=(0, 1, 1)), bn2[2], bn2[3], bn2[0], bn2[1])
+        ref = jnp.maximum(x + r, 0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+        wn = jnp.asarray((rng.standard_normal((3, 1, 1, c, c)) * 0.1).astype(np.float32))
+        wx = jnp.asarray((rng.standard_normal((1, 1, 1, c, c)) * 0.1).astype(np.float32))
+        gota = srd_attention_residual(x, wn, wx)
+        at = jnp.maximum(conv3d(x, wn, padding=(1, 0, 0)), 0)
+        refa = x + jnp.maximum(conv3d(at, wx), 0)
+        np.testing.assert_allclose(np.asarray(gota), np.asarray(refa), atol=1e-5)
