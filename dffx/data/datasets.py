@@ -19,7 +19,7 @@ Everything is host-side numpy; the TPU never sees a file format.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -15,8 +15,6 @@ flipped kernel.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -11,7 +11,7 @@ Axis conventions for the whole framework:
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

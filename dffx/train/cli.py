@@ -117,6 +117,9 @@ def main(argv=None):
 
     num_train = len(train_ds) // args.batch_size
     start = time.time()
+    # loss sums accumulate across print_epoch epochs, like the reference
+    # (train_code_HCI.py prints/averages every 10 epochs)
+    sums = dict(total=0.0, mid=0.0, l1=0.0, l2=0.0, l3=0.0)
     for epoch in range(args.load_epoch, max_epoch + 1):
         if epoch % recipe.save_epoch == 0 and epoch != args.load_epoch:
             ckpt.save(
@@ -126,7 +129,6 @@ def main(argv=None):
         if epoch % recipe.test_epoch == 0:
             _validate(eval_fn, state.params, val_ds, recipe, writer, epoch)
 
-        sums = dict(total=0.0, mid=0.0, l1=0.0, l2=0.0, l3=0.0)
         loader = Loader(
             train_ds,
             args.batch_size,
@@ -150,10 +152,10 @@ def main(argv=None):
             if args.steps_per_epoch and steps >= args.steps_per_epoch:
                 break
 
-        denom = max(num_train, 1) * recipe.print_epoch
         if epoch % recipe.print_epoch == 0:
+            denom = max(num_train, 1) * recipe.print_epoch
             print("Epoch:", epoch)
-            print("AVG_DFF_TotalLoss:", sums["total"] / max(steps, 1))
+            print("AVG_DFF_TotalLoss:", sums["total"] / denom)
             print("Time:", time.time() - start)
             writer.add_scalar("Loss/train/Total loss", sums["total"] / denom, epoch)
             writer.add_scalar("Loss/train/Mid loss", sums["mid"] / denom, epoch)
@@ -161,6 +163,7 @@ def main(argv=None):
             writer.add_scalar("Loss/train/Second/L1 loss", sums["l2"] / denom, epoch)
             writer.add_scalar("Loss/train/Third/L1 loss", sums["l3"] / denom, epoch)
             start = time.time()
+            sums = dict(total=0.0, mid=0.0, l1=0.0, l2=0.0, l3=0.0)
 
     writer.close()
 

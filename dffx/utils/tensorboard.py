@@ -13,8 +13,6 @@ from __future__ import annotations
 import os
 import struct
 import time
-from typing import Optional
-
 # ---------------------------------------------------------------------------
 # CRC32C (Castagnoli), table-driven
 # ---------------------------------------------------------------------------
