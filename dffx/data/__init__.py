@@ -12,6 +12,7 @@ from dffx.data.datasets import (
     ddff_focus_dists,
 )
 from dffx.data.pipeline import Loader, device_prefetch
+from dffx.data.simulated import SimulatedScenesDataset
 
 __all__ = [
     "DDFFBenchmark",
@@ -24,5 +25,6 @@ __all__ = [
     "SmartphoneDataset",
     "ddff_focus_dists",
     "Loader",
+    "SimulatedScenesDataset",
     "device_prefetch",
 ]

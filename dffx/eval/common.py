@@ -54,15 +54,24 @@ def save_jet(path: str, normalized: np.ndarray) -> None:
 
 class TimedForward:
     """Jitted eval forward with host-side wall timing (the reference's
-    ``AVG_time`` semantics: time around the forward call, `test.py:117-119`)."""
+    ``AVG_time`` semantics: time around the forward call, `test.py:117-119`).
 
-    def __init__(self, apply_fn, params, *, dtype=jnp.float32, precision=None):
+    ``use_pallas=None`` auto-enables the fused TPU kernels for the bf16
+    serving path (fp32 stays on the XLA parity path)."""
+
+    def __init__(self, apply_fn, params, *, dtype=jnp.float32, precision=None,
+                 use_pallas: Optional[bool] = None):
         self.params = params
         self.total = 0.0
         self.count = 0
+        if use_pallas is None:
+            use_pallas = (
+                jax.devices()[0].platform == "tpu" and dtype == jnp.bfloat16
+            )
 
         def fwd(p, *args):
-            ctx = Ctx(train=False, compute_dtype=dtype, precision=precision)
+            ctx = Ctx(train=False, compute_dtype=dtype, precision=precision,
+                      use_pallas=use_pallas)
             cast = tuple(a.astype(dtype) if a.ndim >= 4 else a for a in args)
             return apply_fn(p, *cast, ctx)
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from dffx import checkpoint as ckpt
 from dffx import metrics as M
 from dffx.data import Loader, device_prefetch
-from dffx.models import init_params, network_specs
+from dffx.models import e2e_network_specs, init_params, network_specs
 from dffx.parallel import batch_sharding, make_mesh
 from dffx.train.loop import TrainState, create_train_state, make_eval_fn, make_train_step
 from dffx.train.recipes import RECIPES
@@ -42,6 +42,8 @@ def _validate(eval_fn, params, dataset, recipe, writer, epoch):
             "fs": jnp.asarray(s["fs"][None]),
             "focus_dists": jnp.asarray(s["focus_dists"][None]),
         }
+        if recipe.e2e:
+            batch["fovs"] = jnp.asarray(s["fovs"][None])
         t0 = time.time()
         outs = jax.block_until_ready(eval_fn(params, batch))
         val_time += time.time() - t0
@@ -77,7 +79,8 @@ def main(argv=None):
     parser.add_argument("--saveroot", default="train_test/", type=str)
     parser.add_argument("--lr", type=float, required=True)
     parser.add_argument("--max_epoch", default=None, type=int)
-    parser.add_argument("--load_epoch", default=0, type=int)
+    parser.add_argument("--load_epoch", default=0, type=int,
+                        help="epoch to resume from; -1 resumes the latest checkpoint")
     parser.add_argument("--batch_size", default=4, type=int)
     parser.add_argument("--cpus", default=10, type=int, help="decoder threads")
     parser.add_argument("--data-root", default="Datasets/", type=str)
@@ -100,7 +103,16 @@ def main(argv=None):
 
     train_ds, val_ds = recipe.make_datasets(args.data_root, args.seed)
 
-    specs = network_specs()
+    specs = e2e_network_specs() if recipe.e2e else network_specs()
+    if args.load_epoch == -1:
+        # crash recovery: resume from the newest checkpoint on disk
+        existing = sorted(
+            (int(f.split(".")[0]) for f in os.listdir(os.path.join(root, "models"))
+             if f.endswith(".ckpt") and f.split(".")[0].isdigit()),
+            reverse=True,
+        )
+        args.load_epoch = existing[0] if existing else 0
+        print(f"[dffx] auto-resume from epoch {args.load_epoch}")
     if args.load_epoch > 1:
         blob = ckpt.load(os.path.join(root, "models", f"{args.load_epoch}.ckpt"))
         state = TrainState(
@@ -111,8 +123,8 @@ def main(argv=None):
     else:
         state = create_train_state(init_params(specs, seed=args.seed), lr=args.lr)
 
-    step_fn = make_train_step(args.lr, recipe.loss)
-    eval_fn = make_eval_fn()
+    step_fn = make_train_step(args.lr, recipe.loss, e2e=recipe.e2e)
+    eval_fn = make_eval_fn(e2e=recipe.e2e)
     sharding = batch_sharding(mesh)
 
     num_train = len(train_ds) // args.batch_size
@@ -140,7 +152,7 @@ def main(argv=None):
         steps = 0
         for batch in device_prefetch(iter(loader), sharding=sharding):
             batch = {
-                k: v for k, v in batch.items() if k in ("fs", "depth", "focus_dists", "mask", "conf")
+                k: v for k, v in batch.items() if k in ("fs", "depth", "focus_dists", "mask", "conf", "fovs")
             }
             state, logs = step_fn(state, batch)
             sums["total"] += float(logs["loss"])

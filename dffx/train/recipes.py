@@ -30,6 +30,7 @@ SMARTPHONE_MAX = 1 / 0.10201
 class Recipe:
     name: str
     loss: LossConfig
+    e2e: bool = False  # train alignment + depth end-to-end (needs fovs)
     batch_size: int = 4
     max_epoch: int = 1000
     test_epoch: int = 1
@@ -81,6 +82,14 @@ class Recipe:
                 SmartphoneDataset(j("Real_data_DP/"), mode="train", seed=seed),
                 SmartphoneDataset(j("Real_data_DP/"), mode="test"),
             )
+        if self.name == "Simulated":
+            from dffx.data import SimulatedScenesDataset
+
+            root = j("NYU_move_out_0_1/")
+            return (
+                SimulatedScenesDataset(root, mode="train", seed=seed),
+                SimulatedScenesDataset(root, mode="val"),
+            )
         raise KeyError(self.name)
 
 
@@ -105,5 +114,13 @@ RECIPES = {
         name="Smartphone",
         loss=LossConfig(norm_range=(SMARTPHONE_MIN, SMARTPHONE_MAX), conf_weighted=True),
         val_metrics=("mse", "mae"),
+    ),
+    # dffx extension: end-to-end alignment+depth training on simulator output
+    # (the reference trains E2E on such data but ships no script for it)
+    "Simulated": Recipe(
+        name="Simulated",
+        loss=LossConfig(),
+        e2e=True,
+        val_metrics=("mse", "mae", "rmse"),
     ),
 }

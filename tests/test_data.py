@@ -324,3 +324,34 @@ def test_native_io_matches_numpy(rng):
         ((hwcn / 127.5 - 1.0).transpose(3, 0, 1, 2)).astype(np.float32),
         atol=1e-6,
     )
+
+
+def test_simulated_scenes_dataset_roundtrip(tmp_path, rng):
+    """Simulator output -> SimulatedScenesDataset -> e2e train batch."""
+    from dffx.data import SimulatedScenesDataset
+    from dffx.sim import DEVICE_PROFILES, generate_scene
+
+    import cv2
+    import scipy.io as sio
+
+    image = rng.uniform(0, 255, (64, 96, 3)).astype(np.float32)
+    depth = rng.uniform(0.1, 1.1, (64, 96))
+    out = generate_scene(
+        image, depth, profile=DEVICE_PROFILES[0], rng=np.random.default_rng(0),
+        pixel_vs_meter=1 / 0.0000014 * 96 / 4080, num_imgs=4, num_planes=50,
+    )
+    scene = tmp_path / "0"
+    scene.mkdir()
+    for i, img in enumerate(out["imgs"]):
+        cv2.imwrite(str(scene / f"img{i}.png"), img)
+    sio.savemat(str(scene / "depth.mat"), {"depth": out["depth"], "defocus": out["disparity"]})
+    sio.savemat(str(scene / "camera_param.mat"), out["camera_setting"])
+
+    ds = SimulatedScenesDataset(str(tmp_path), mode="train", num_imgs=4, crop=32)
+    assert len(ds) == 1
+    s = ds[0]
+    assert s["fs"].shape == (4, 32, 32, 3)
+    assert s["fovs"].shape == (4,) and s["focus_dists"].shape == (4,)
+    assert np.isfinite(s["fs"]).all() and s["mask"].any()
+    ds_val = SimulatedScenesDataset(str(tmp_path), mode="val", num_imgs=4)
+    assert ds_val[0]["fs"].shape == (4, 64, 96, 3)

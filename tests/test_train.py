@@ -43,7 +43,11 @@ def test_masked_mse_matches_torch_semantics(rng):
 
 
 def test_recipes_cover_all_five_references():
-    assert set(RECIPES) == {"DDFF", "HCI", "Defocus", "FlyingThings", "Smartphone"}
+    # the five reference recipes, plus dffx's end-to-end extension
+    assert set(RECIPES) == {
+        "DDFF", "HCI", "Defocus", "FlyingThings", "Smartphone", "Simulated"
+    }
+    assert RECIPES["Simulated"].e2e
     hci = RECIPES["HCI"]
     assert hci.loss.norm_range == (-2.5, 2.5) and not hci.loss.normalize_mid
     assert RECIPES["FlyingThings"].loss.norm_range == (10.0, 100.0)
