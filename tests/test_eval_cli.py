@@ -1,0 +1,84 @@
+"""End-to-end eval CLI tests on synthetic fixtures (CPU): dataset dispatch,
+metric prints, and output files — the reference's operational 'test harness'
+(SURVEY.md §4), actually automated."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dffx.data import exr
+
+REF_SCENES = "/root/reference/End_to_End/Datasets"
+
+
+@pytest.fixture(scope="module")
+def fs6_root(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("cli_ds")
+    test = root / "fs_6" / "test"
+    test.mkdir(parents=True)
+    r = np.random.default_rng(0)
+    for s in range(2):
+        exr.write(
+            str(test / f"{s:02d}Dpt.exr"),
+            {c: r.uniform(0.0, 1.8, (64, 64)).astype(np.float16) for c in "RGB"},
+        )
+        for i in range(5):
+            cv2.imwrite(
+                str(test / f"{s:02d}_{i}All.tif"),
+                r.integers(0, 256, (64, 64, 3), dtype=np.uint8),
+            )
+    return str(root)
+
+
+def test_eval_cli_defocusnet(fs6_root, tmp_path, capsys):
+    from dffx.eval import test as T
+
+    results = str(tmp_path / "results") + "/"
+    T.main(
+        [
+            "--dataset", "DefocusNet",
+            "--data-root", fs6_root + "/",
+            "--results-root", results,
+            "--allow-random-init",
+        ]
+    )
+    out = capsys.readouterr().out
+    for key in ["Avg_abs_rel", "Avg_mse", "Avg_rmse_log", "Avg_accuracy_3", "AVG_time"]:
+        assert key in out, out
+    jpgs = os.listdir(os.path.join(results, "DefocusNet", "Depth"))
+    assert sorted(jpgs) == ["0.jpg", "1.jpg"]
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_SCENES), reason="no bundled scene")
+def test_real_scenes_cli(tmp_path, capsys, monkeypatch):
+    """Alignment + depth CLI on a shrunken copy of the bundled balls scene
+    (full-res on CPU is too slow for a unit test)."""
+    import cv2
+
+    from dffx.eval import real_scenes as RS
+
+    src = os.path.join(REF_SCENES, "balls")
+    scene = tmp_path / "scenes" / "balls"
+    scene.mkdir(parents=True)
+    files = sorted(f for f in os.listdir(src) if f.endswith("jpg"))[:10]
+    for f in files:
+        img = cv2.imread(os.path.join(src, f))
+        cv2.imwrite(str(scene / f), cv2.resize(img, (120, 72)))
+    for t in ("focus_distance.txt", "focal_length.txt"):
+        (scene / t).write_text(open(os.path.join(src, t)).read())
+
+    out_dir = str(tmp_path / "out") + "/"
+    RS.main(
+        [
+            "--data-root", str(tmp_path / "scenes"),
+            "--out", out_dir,
+            "--allow-random-init",
+        ]
+    )
+    assert os.path.exists(os.path.join(out_dir, "depth", "0.jpg"))
+    warped = os.listdir(os.path.join(out_dir, "warped_result", "0"))
+    assert len(warped) == 10
+    assert "AVG_time" in capsys.readouterr().out
