@@ -353,3 +353,134 @@ def srd_attention_residual_cf(fs: jax.Array, wn, w1, *, n: int, c: int) -> jax.A
         scratch_shapes=[pltpu.VMEM((kpad, RB_H_TILE, wp), f.dtype)],
     )(fs, wn_k, w1_k)
     return out[:, :, :, :wd]
+
+
+# ---------------------------------------------------------------------------
+# Generic fused (3,3,3) conv + BN + (ReLU) — the hourglass workhorse
+# (`Depth_Estimation_Network.py:240-284`).  Mixes the focus axis.  The deployed
+# Mosaic rejects DMA destinations whose lane extent isn't exactly 128, so
+# instead of manual HBM windows the kernel receives SIX aligned VMEM blocks of
+# the same (N- and row-padded) input — {n, n+1, n+2} x {row-tile t, t+1} — and
+# assembles each 3-slice, (T+2)-row window from their overlap-free pieces.
+# Stride-1 only; strided encoder convs and deconvs stay on XLA.
+# ---------------------------------------------------------------------------
+
+C3_H_TILE = 16
+
+
+def _conv333_kernel(xa0, xb0, xa1, xb1, xa2, xb2, w_ref, s_ref, b_ref, o_ref,
+                    window, patches, *, cin: int, cout: int, relu: bool,
+                    high_precision: bool):
+    """Grid (B, N, tiles).
+
+    xa/xb{dn}: (1, 1, Cin, T, WL+2) row blocks t and t+1 of slice n+dn of the
+               padded volume (rows are offset by T-1 zeros, so the window's
+               T+2 rows are xa's last two rows + all of xb)
+    w_ref:     (3, 9*Cin pad, Cout), K = ci*9 + ky*3 + kx
+    s_/b_ref:  (Cout, 1) fused BN affine
+    o_ref:     (1, 1, Cout, T, WL)
+    window:    (3, Cin, T+2, WL+2) scratch
+    patches:   (9*Cin pad, T, WL) scratch
+    """
+    t_sz = C3_H_TILE
+    wl = o_ref.shape[4]
+    kpad = patches.shape[0]
+    for dn, (xa, xb) in enumerate([(xa0, xb0), (xa1, xb1), (xa2, xb2)]):
+        window[dn, :, 0:2, :] = xa[0, 0, :, t_sz - 2 : t_sz, :]
+        window[dn, :, 2 : t_sz + 2, :] = xb[0, 0, :, :, :]
+
+    if kpad > 9 * cin:
+        patches[9 * cin :, :, :] = jnp.zeros((kpad - 9 * cin, t_sz, wl), patches.dtype)
+    prec = jax.lax.Precision.HIGHEST if high_precision else None
+    acc = jnp.zeros((cout, t_sz, wl), jnp.float32)
+    for dn in range(3):
+        for ci in range(cin):
+            for ky in range(3):
+                for kx in range(3):
+                    patches[ci * 9 + ky * 3 + kx, :, :] = window[
+                        dn, ci, ky : ky + t_sz, kx : kx + wl
+                    ]
+        acc = acc + jax.lax.dot_general(
+            w_ref[dn], patches[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+    y = acc * s_ref[:, 0][:, None, None] + b_ref[:, 0][:, None, None]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    o_ref[0, 0, :, :, :] = y.astype(o_ref.dtype)
+
+
+def conv333_bn_relu_cf(xs: jax.Array, w: jax.Array, scale, shift, *,
+                       relu: bool = True, batch: int) -> jax.Array:
+    """Fused stride-1 ``Conv3d(k=3, p=1) + BN(eval) [+ ReLU]``, channel-first.
+
+    xs: (B*N, Cin, H, W); w: (3, 3, 3, Cin, Cout) DHWIO. Returns (B*N, Cout, H, W).
+    """
+    bn_, cin, h, wd = xs.shape
+    if wd > 256:
+        # the deployed Mosaic crashes compiling this kernel beyond ~258-lane
+        # blocks; split W with a 1-column halo (zero-pad semantics preserved:
+        # the kept outputs only ever read real columns)
+        mid = wd // 2
+        left = conv333_bn_relu_cf(xs[..., : mid + 1], w, scale, shift,
+                                  relu=relu, batch=batch)[..., :mid]
+        right = conv333_bn_relu_cf(xs[..., mid - 1 :], w, scale, shift,
+                                   relu=relu, batch=batch)[..., 1:]
+        return jnp.concatenate([left, right], axis=-1)
+    n = bn_ // batch
+    cout = w.shape[4]
+    t_sz = C3_H_TILE
+    assert h % t_sz == 0
+    wl = -(-wd // 128) * 128
+    kpad = -(-9 * cin // 8) * 8
+    # pads (all zeros, preserving conv semantics exactly):
+    #   N: one slice each end;  rows: T-1 leading (so the T+2-row window of
+    #   tile t spans exactly row-blocks t and t+1) + trailing to a multiple of
+    #   T;  cols: 1 + (lane alignment)
+    x5 = xs.reshape(batch, n, cin, h, wd)
+    xp = jnp.pad(
+        x5,
+        ((0, 0), (1, 1), (0, 0), (t_sz - 1, 1), (1, 1 + wl - wd)),
+    )
+
+    wk = jnp.zeros((3, kpad, cout), jnp.float32)
+    wk = wk.at[:, : 9 * cin, :].set(
+        jnp.asarray(w, jnp.float32).transpose(0, 3, 1, 2, 4).reshape(3, 9 * cin, cout)
+    )
+
+    block = (1, 1, cin, t_sz, wl + 2)
+
+    def spec(dn, dr):
+        return pl.BlockSpec(
+            block, lambda b, i, t, dn=dn, dr=dr: (b, i + dn, 0, t + dr, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(
+        _conv333_kernel, cin=cin, cout=cout, relu=relu,
+        high_precision=(xs.dtype == jnp.float32),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, n, cout, h, wl), xs.dtype),
+        grid=(batch, n, h // t_sz),
+        in_specs=[
+            spec(0, 0), spec(0, 1), spec(1, 0), spec(1, 1), spec(2, 0), spec(2, 1),
+            pl.BlockSpec((3, kpad, cout), lambda b, i, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, 1), lambda b, i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, 1), lambda b, i, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, cout, t_sz, wl),
+                               lambda b, i, t: (b, i, 0, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((3, cin, t_sz + 2, wl + 2), xs.dtype),
+            pltpu.VMEM((kpad, t_sz, wl), xs.dtype),
+        ],
+    )(xp, xp, xp, xp, xp, xp, wk.astype(jnp.float32),
+      scale.reshape(cout, 1).astype(jnp.float32),
+      shift.reshape(cout, 1).astype(jnp.float32))
+    return out[:, :, :, :, :wd].reshape(bn_, cout, h, wd)

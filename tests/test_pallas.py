@@ -80,3 +80,19 @@ def test_srd_kernels_match_xla(interpret_pallas, rng):
         at = jnp.maximum(conv3d(x, wn, padding=(1, 0, 0)), 0)
         refa = x + jnp.maximum(conv3d(at, wx), 0)
         np.testing.assert_allclose(np.asarray(gota), np.asarray(refa), atol=1e-5)
+
+
+def test_conv333_matches_xla(interpret_pallas, rng):
+    from dffx.ops.pallas_kernels import conv333_bn_relu_cf
+
+    b, n, c, co, h, w = 1, 3, 16, 8, 32, 64
+    x = jnp.asarray(rng.uniform(-1, 1, (b, n, h, w, c)).astype(np.float32))
+    wk = jnp.asarray((rng.standard_normal((3, 3, 3, c, co)) * 0.1).astype(np.float32))
+    xs = x.reshape(b * n, h, w, c).transpose(0, 3, 1, 2)
+    got = conv333_bn_relu_cf(xs, wk, jnp.ones(co), jnp.zeros(co), batch=b)
+    ref = (
+        jnp.maximum(conv3d(x, wk, padding=1), 0)
+        .reshape(b * n, h, w, co)
+        .transpose(0, 3, 1, 2)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
