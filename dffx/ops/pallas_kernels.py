@@ -484,3 +484,103 @@ def conv333_bn_relu_cf(xs: jax.Array, w: jax.Array, scale, shift, *,
       scale.reshape(cout, 1).astype(jnp.float32),
       shift.reshape(cout, 1).astype(jnp.float32))
     return out[:, :, :, :, :wd].reshape(bn_, cout, h, wd)
+
+
+# ---------------------------------------------------------------------------
+# Fused bilinear-upsample + softplus-soft-argmax depth head
+# (`Depth_Estimation_Network.py:86-90,110-122`): cost (B, N, h, w) at 1/2-1/8
+# resolution → depth (B, H, W), never materializing the upsampled (B, N, H, W)
+# cost volume in HBM.  Row interpolation weights are built in-kernel from the
+# affine align_corners=False map; column weights are a static matmul operand.
+# ---------------------------------------------------------------------------
+
+UP_H_TILE = 16
+
+
+def _upsample_softargmax_kernel(xa, xb, wx_ref, fd_ref, o_ref, window,
+                                *, n: int, f: int, h_in: int, tile: int):
+    """Grid (B, out-row tiles).
+
+    xa/xb:  (1, N, R, w) input row-blocks t, t+1 (rows edge-prepadded by R-1)
+    wx_ref: (w pad, W) static column-interp matrix (transposed)
+    fd_ref: (1, N) focus distances for this batch element
+    o_ref:  (1, T, W)
+    window: (N, R+2, w) scratch
+    """
+    t = pl.program_id(1)
+    r = tile // f
+    w_in = window.shape[2]
+    w_out = o_ref.shape[2]
+
+    window[:, 0:2, :] = xa[0, :, r - 2 : r, :]
+    window[:, 2:, :] = xb[0, :, :, :]
+
+    # row weights: out row o (global tT+o) samples src = (tT+o+0.5)/f - 0.5,
+    # clipped; window row i holds global input row tR - 1 + i
+    # tpu.iota only supports integer results; cast after
+    o_idx = jax.lax.broadcasted_iota(jnp.int32, (tile, r + 2), 0).astype(jnp.float32)
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (tile, r + 2), 1).astype(jnp.float32)
+    src = (t * tile + o_idx + 0.5) / f - 0.5
+    src = jnp.clip(src, 0.0, h_in - 1.0)
+    rows = t * r - 1.0 + i_idx
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(src - rows))  # (T, R+2)
+
+    num = jnp.zeros((tile, w_out), jnp.float32)
+    den = jnp.zeros((tile, w_out), jnp.float32)
+    for ni in range(n):
+        up_rows = jax.lax.dot_general(
+            wy, window[ni].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T, w)
+        up = jax.lax.dot_general(
+            up_rows, wx_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T, W)
+        p = jax.nn.softplus(up) + 1e-6
+        num = num + fd_ref[0, ni] * p
+        den = den + p
+    o_ref[0, :, :] = (num / den).astype(o_ref.dtype)
+
+
+def upsample_softargmax(cost: jax.Array, focus_dists: jax.Array,
+                        out_hw: tuple) -> jax.Array:
+    """Fused ``softplus_argmax(upsample_bilinear(cost, out_hw), focus_dists)``.
+
+    cost: (B, N, h, w); focus_dists: (B, N).  H/h must be an integer power-of-2
+    factor in {2, 4, 8} with W/w equal (the model's head geometry).
+    """
+    from dffx.ops.resize import bilinear_matrix
+
+    b, n, h_in, w_in = cost.shape
+    h_out, w_out = out_hw
+    f = h_out // h_in
+    assert f in (2, 4, 8) and h_in * f == h_out and w_in * f == w_out, (cost.shape, out_hw)
+    r = 8  # input row-block: Pallas requires sublane block dims % 8 == 0
+    tile = r * f
+    assert h_out % tile == 0
+
+    # rows: prepad R-1 (edge) so the R+2-row window spans row-blocks t, t+1;
+    # one trailing edge row + alignment
+    rp_total = (h_out // tile + 1) * r
+    xp = jnp.pad(cost, ((0, 0), (0, 0), (r - 1, rp_total - h_in - (r - 1)), (0, 0)),
+                 mode="edge")
+    wx = bilinear_matrix(w_in, w_out).T.copy()  # (w_in, W)
+    block = (1, n, r, w_in)
+
+    out = pl.pallas_call(
+        functools.partial(_upsample_softargmax_kernel, n=n, f=f, h_in=h_in, tile=tile),
+        out_shape=jax.ShapeDtypeStruct((b, h_out, w_out), cost.dtype),
+        grid=(b, h_out // tile),
+        in_specs=[
+            pl.BlockSpec(block, lambda b_, t: (b_, 0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, lambda b_, t: (b_, 0, t + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_in, w_out), lambda b_, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda b_, t: (b_, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, w_out), lambda b_, t: (b_, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n, r + 2, w_in), cost.dtype)],
+    )(xp, xp, jnp.asarray(wx), focus_dists.astype(jnp.float32))
+    return out

@@ -96,3 +96,15 @@ def test_conv333_matches_xla(interpret_pallas, rng):
         .transpose(0, 3, 1, 2)
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_upsample_softargmax_matches_xla(interpret_pallas, rng):
+    from dffx.ops import softplus_argmax, upsample_bilinear
+    from dffx.ops.pallas_kernels import upsample_softargmax
+
+    fd = jnp.asarray(np.linspace(0.1, 2.0, 10, dtype=np.float32)[None])
+    for f in (2, 4, 8):
+        cost = jnp.asarray(rng.standard_normal((1, 10, 128 // f, 128 // f)).astype(np.float32) * 2)
+        got = upsample_softargmax(cost, fd, (128, 128))
+        ref = softplus_argmax(upsample_bilinear(cost, (128, 128)), fd)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
