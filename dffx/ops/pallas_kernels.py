@@ -99,27 +99,30 @@ def fm_conv_bn_relu_cf(xs: jax.Array, w, scale, shift) -> jax.Array:
     kernels without intermediate layout transposes."""
     bn_, _, h, width = xs.shape
     assert h % H_TILE == 0, (h, H_TILE)
-    xp = jnp.pad(xs, ((0, 0), (0, 0), (8, 8), (8, 8)))
+    # stored patch slices need 128-multiple lane extents (Mosaic constraint);
+    # extra zero columns are the conv's own padding semantics, sliced off below
+    wl = -(-width // 128) * 128
+    xp = jnp.pad(xs, ((0, 0), (0, 0), (8, 8), (8, 8 + wl - width)))
 
     wk = jnp.zeros((K_PAD, 8), w.dtype)
     wk = wk.at[:K_TAPS].set(w[0].reshape(K_TAPS, 8))
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _fm_conv_kernel,
-        out_shape=jax.ShapeDtypeStruct((bn_, 8, h, width), xs.dtype),
+        out_shape=jax.ShapeDtypeStruct((bn_, 8, h, wl), xs.dtype),
         grid=(bn_, h // H_TILE),
         in_specs=[
-            pl.BlockSpec((1, 3, h + 16, width + 16), lambda i, t: (i, 0, 0, 0),
+            pl.BlockSpec((1, 3, h + 16, wl + 16), lambda i, t: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K_PAD, 8), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 1), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 1), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, H_TILE, width), lambda i, t: (i, 0, t, 0),
+        out_specs=pl.BlockSpec((1, 8, H_TILE, wl), lambda i, t: (i, 0, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((3, H_TILE + 16, width + 16), xs.dtype),
-            pltpu.VMEM((K_PAD, H_TILE, width), xs.dtype),
+            pltpu.VMEM((3, H_TILE + 16, wl + 16), xs.dtype),
+            pltpu.VMEM((K_PAD, H_TILE, wl), xs.dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bn_ * h * width * K_TAPS * 8,
@@ -127,6 +130,7 @@ def fm_conv_bn_relu_cf(xs: jax.Array, w, scale, shift) -> jax.Array:
             transcendentals=0,
         ),
     )(xp, wk.astype(xs.dtype), scale.reshape(8, 1), shift.reshape(8, 1))
+    return out[:, :, :, :width]
 
 
 def bn_fused_affine(weight, bias, mean, var, eps: float = 1e-5) -> Tuple[jax.Array, jax.Array]:
