@@ -218,8 +218,24 @@ def srd_specs(s: SpecTable, pfx: str, c: int) -> None:
     conv_spec(s, f"{pfx}.N_ch_attention.2", c, c, (1, 1, 1))
 
 
+# the deployed Mosaic compile helper fails (apparently by resource limits) on
+# whole-model programs whose fused kernels leave the envelope validated here:
+# stage width a multiple of 128 and stage area <= 384^2.  Outside it the model
+# silently uses the XLA path (still correct, ~190x the CPU baseline).
+PALLAS_AREA_CAP = 384 * 384
+
+
+def _pallas_shape_ok(h: int, w: int) -> bool:
+    return h % 16 == 0 and w % 128 == 0 and h * w <= PALLAS_AREA_CAP
+
+
 def _srd_pallas_ok(ctx: Ctx, x) -> bool:
-    return ctx.use_pallas and not ctx.train and x.shape[2] % 16 == 0 and x.shape[-1] <= 32
+    return (
+        ctx.use_pallas
+        and not ctx.train
+        and x.shape[-1] <= 32
+        and _pallas_shape_ok(x.shape[2], x.shape[3])
+    )
 
 
 def _srd_apply_cf(p, pfx, xs, b: int, n: int, ctx: Ctx) -> jax.Array:
@@ -298,7 +314,8 @@ def fm_module_apply(p, pfx, x, ctx: Ctx) -> jax.Array:
     In eval mode on TPU (``ctx.use_pallas``) the dilated conv+BN+ReLU and the
     SRD run as chained channel-first Pallas kernels — one layout transpose in
     (3-channel input, cheap) and one out, instead of one per kernel."""
-    if ctx.use_pallas and not ctx.train and x.shape[2] % 32 == 0:
+    if (ctx.use_pallas and not ctx.train and x.shape[2] % 32 == 0
+            and _pallas_shape_ok(x.shape[2], x.shape[3])):
         from dffx.ops.pallas_kernels import bn_fused_affine, fm_conv_bn_relu_cf
 
         b, n, h, wd, _ = x.shape

@@ -99,6 +99,14 @@ def fm_conv_bn_relu_cf(xs: jax.Array, w, scale, shift) -> jax.Array:
     kernels without intermediate layout transposes."""
     bn_, _, h, width = xs.shape
     assert h % H_TILE == 0, (h, H_TILE)
+    if width > 384:
+        # the deployed Mosaic compile helper fails (load-dependent) on this
+        # kernel beyond 384-lane tiles; split W with the dilated conv's
+        # 8-column halo (kept outputs only read real columns)
+        mid = max(width // 2 // 128, 1) * 128
+        left = fm_conv_bn_relu_cf(xs[..., : mid + 8], w, scale, shift)[..., :mid]
+        right = fm_conv_bn_relu_cf(xs[..., mid - 8 :], w, scale, shift)[..., 8:]
+        return jnp.concatenate([left, right], axis=-1)
     # stored patch slices need 128-multiple lane extents (Mosaic constraint);
     # extra zero columns are the conv's own padding semantics, sliced off below
     wl = -(-width // 128) * 128
