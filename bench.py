@@ -39,17 +39,28 @@ def bench_dffx() -> dict:
 
     results = {"platform": jax.devices()[0].platform}
     best = 0.0
-    # the Pallas FM kernel wins at batch 1 (latency path); XLA's batched conv
-    # lowering wins at batch 4 (throughput path) — measure each at its best
+    # the Pallas fused path wins at batch 1 (latency); XLA's batched conv
+    # lowering wins at batch 4 (throughput) — measure each at its best.  The
+    # remote Mosaic compile service can fail under load, so a Pallas config
+    # falls back to the (always-compilable) XLA path rather than crashing.
     for batch, iters, pallas in [(1, 20, on_tpu), (4, 8, False)]:
         fs = jnp.asarray(rng.uniform(-1, 1, (batch, N, H, W, 3)).astype(np.float32))
         fd = jnp.asarray(np.tile(np.linspace(0.2, 7.0, N, dtype=np.float32), (batch, 1)))
-        ctx = Ctx(compute_dtype=jnp.bfloat16, use_pallas=pallas)
 
-        def fwd(x, p, d):
-            return dffnet_apply(p, x.astype(jnp.bfloat16), d, ctx)[3]
+        per = None
+        for use_pallas in ([pallas, False] if pallas else [False]):
+            ctx = Ctx(compute_dtype=jnp.bfloat16, use_pallas=use_pallas)
 
-        per = device_loop_time(fwd, fs, params, fd, iters=iters)
+            def fwd(x, p, d):
+                return dffnet_apply(p, x.astype(jnp.bfloat16), d, ctx)[3]
+
+            try:
+                per = device_loop_time(fwd, fs, params, fd, iters=iters)
+                break
+            except Exception as e:  # Mosaic compile-service failure
+                print(f"# pallas path failed at batch {batch} "
+                      f"({type(e).__name__}); falling back to XLA",
+                      file=sys.stderr)
         sps = batch / per
         results[f"b{batch}_stacks_per_sec"] = round(sps, 2)
         best = max(best, sps)
