@@ -47,20 +47,24 @@ def bench_dffx() -> dict:
         fs = jnp.asarray(rng.uniform(-1, 1, (batch, N, H, W, 3)).astype(np.float32))
         fd = jnp.asarray(np.tile(np.linspace(0.2, 7.0, N, dtype=np.float32), (batch, 1)))
 
-        per = None
-        for use_pallas in ([pallas, False] if pallas else [False]):
+        attempts = [pallas, False] if pallas else [False]
+        for i, use_pallas in enumerate(attempts):
             ctx = Ctx(compute_dtype=jnp.bfloat16, use_pallas=use_pallas)
 
             def fwd(x, p, d):
-                return dffnet_apply(p, x.astype(jnp.bfloat16), d, ctx)[3]
+                # all four heads: the reference forward computes mid/p1/p2/p3,
+                # so the benched XLA program must too (device_loop_time sums
+                # every output leaf, defeating dead-code elimination)
+                return dffnet_apply(p, x.astype(jnp.bfloat16), d, ctx)
 
             try:
                 per = device_loop_time(fwd, fs, params, fd, iters=iters)
                 break
-            except Exception as e:  # Mosaic compile-service failure
-                print(f"# pallas path failed at batch {batch} "
-                      f"({type(e).__name__}); falling back to XLA",
-                      file=sys.stderr)
+            except Exception:  # Mosaic compile-service failure
+                if i == len(attempts) - 1:
+                    raise  # the XLA path must compile; don't mask its error
+                print(f"# pallas path failed at batch {batch}; "
+                      "falling back to XLA", file=sys.stderr)
         sps = batch / per
         results[f"b{batch}_stacks_per_sec"] = round(sps, 2)
         best = max(best, sps)

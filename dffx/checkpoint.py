@@ -80,6 +80,10 @@ def to_torch_state_dict(params: Mapping[str, jax.Array], specs: SpecTable) -> Di
             arr = arr.transpose(4, 3, 0, 1, 2)
         elif kind == "deconv":
             arr = arr.transpose(3, 4, 0, 1, 2)
+        elif kind == "bn_count":
+            # torch state_dicts carry num_batches_tracked as int64; on-device
+            # these live as int32 (jax x64 disabled), so restore the dtype here
+            arr = arr.astype(np.int64)
         out[key] = arr
     return out
 

@@ -104,7 +104,8 @@ def main(argv=None):
     train_ds, val_ds = recipe.make_datasets(args.data_root, args.seed)
 
     specs = e2e_network_specs() if recipe.e2e else network_specs()
-    if args.load_epoch == -1:
+    auto_resume = args.load_epoch == -1
+    if auto_resume:
         # crash recovery: resume from the newest checkpoint on disk
         existing = sorted(
             (int(f.split(".")[0]) for f in os.listdir(os.path.join(root, "models"))
@@ -113,7 +114,11 @@ def main(argv=None):
         )
         args.load_epoch = existing[0] if existing else 0
         print(f"[dffx] auto-resume from epoch {args.load_epoch}")
-    if args.load_epoch > 1:
+    # Auto-resume loads ANY saved epoch (>= 1); only the explicit reference
+    # flag keeps the reference's `load_epoch > 1` quirk (train_code_DDFF.py:63)
+    # — otherwise a crash right after the first save would silently restart
+    # from random weights while printing "auto-resume from epoch 1".
+    if args.load_epoch >= 1 if auto_resume else args.load_epoch > 1:
         blob = ckpt.load(os.path.join(root, "models", f"{args.load_epoch}.ckpt"))
         state = TrainState(
             step=jnp.asarray(blob["step"]),

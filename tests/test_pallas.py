@@ -38,11 +38,21 @@ def test_fm_conv_bn_relu_matches_xla(interpret_pallas, rng, h, w, n):
 
 
 def test_model_pallas_path_matches_xla_path(interpret_pallas, rng):
-    """Ctx(use_pallas=True) must be numerically identical to the XLA path."""
-    from dffx.models import Ctx, dffnet_apply, init_params, network_specs
+    """Ctx(use_pallas=True) must be numerically identical to the XLA path.
 
+    The input shape must sit INSIDE the fused-kernel envelope, or both paths
+    silently run identical XLA code and this test stops testing anything
+    (round-1 advisor finding: the old 64x64 input fell outside the W%128 gate)."""
+    from dffx.models import Ctx, dffnet_apply, init_params, network_specs
+    from dffx.models.layers import _pallas_shape_ok
+
+    h, w = 64, 128
+    assert _pallas_shape_ok(h, w), (
+        "test shape left the Pallas envelope — pick one inside it or the "
+        "pallas-vs-xla comparison is a no-op"
+    )
     params = init_params(network_specs(), seed=0)
-    fs = jnp.asarray(rng.uniform(-1, 1, (1, 5, 64, 64, 3)).astype(np.float32))
+    fs = jnp.asarray(rng.uniform(-1, 1, (1, 5, h, w, 3)).astype(np.float32))
     fd = jnp.asarray(np.linspace(0.1, 1.5, 5, dtype=np.float32)[None])
     ref = dffnet_apply(params, fs, fd, Ctx())
     got = dffnet_apply(params, fs, fd, Ctx(use_pallas=True))
