@@ -35,13 +35,23 @@ class Loader:
         num_threads: int = 4,
         seed: int = 0,
         lookahead: int = 4,
+        process_id: int = 0,
+        process_count: int = 1,
     ):
+        """``batch_size`` is the GLOBAL batch.  Under multi-host data
+        parallelism each host constructs the identical shuffled order (same
+        seed) and loads only its contiguous ``batch_size / process_count``
+        slice of every batch — sample-index sharding, no cross-host IO."""
+        if process_count > 1:
+            assert batch_size % process_count == 0, (batch_size, process_count)
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_threads = num_threads
         self.lookahead = lookahead
+        self.process_id = process_id
+        self.process_count = process_count
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -58,6 +68,15 @@ class Loader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        if self.process_count > 1:
+            # multi-host: every batch must be full so the per-host slices line
+            # up with the global sharding (partial trailing batches dropped)
+            local = self.batch_size // self.process_count
+            batches = [
+                b[self.process_id * local : (self.process_id + 1) * local]
+                for b in batches
+                if len(b) == self.batch_size
+            ]
 
         with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
             futs = queue.Queue()
@@ -95,7 +114,11 @@ def device_prefetch(
 
     def put(batch):
         if sharding is not None:
-            return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+            from dffx.parallel.distributed import global_batch
+
+            # single-process: a plain device_put; multi-host: assemble the
+            # global jax.Array from this host's local slice
+            return global_batch(batch, sharding)
         return jax.tree_util.tree_map(jax.device_put, batch)
 
     def producer():

@@ -13,6 +13,7 @@ replacement is mesh-based SPMD:
 No NCCL/MPI-style code: collectives are compiled from shardings.
 """
 
+from dffx.parallel import distributed
 from dffx.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -27,4 +28,5 @@ __all__ = [
     "spatial_sharding",
     "shard_batch",
     "replicate",
+    "distributed",
 ]

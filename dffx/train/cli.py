@@ -27,9 +27,20 @@ from dffx import metrics as M
 from dffx.data import Loader, device_prefetch
 from dffx.models import e2e_network_specs, init_params, network_specs
 from dffx.parallel import batch_sharding, make_mesh
+from dffx.parallel import distributed
 from dffx.train.loop import TrainState, create_train_state, make_eval_fn, make_train_step
 from dffx.train.recipes import RECIPES
 from dffx.utils.tensorboard import SummaryWriter
+
+
+class _NullWriter:
+    """Writer stand-in for non-primary hosts (only process 0 logs)."""
+
+    def add_scalar(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
 
 
 def _validate(eval_fn, params, dataset, recipe, writer, epoch):
@@ -87,15 +98,30 @@ def main(argv=None):
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--steps-per-epoch", default=None, type=int,
                         help="cap train steps per epoch (smoke tests)")
+    parser.add_argument("--bn_mode", default="sync", choices=["sync", "per_shard"],
+                        help="BatchNorm semantics under data parallelism: "
+                             "'sync' (global-batch stats) or 'per_shard' "
+                             "(nn.DataParallel-faithful per-replica stats)")
+    parser.add_argument("--coordinator", default=None, type=str,
+                        help="multi-host: coordinator address host:port "
+                             "(or DFFX_COORDINATOR env)")
+    parser.add_argument("--num_processes", default=None, type=int,
+                        help="multi-host: total process count (or DFFX_NUM_PROCESSES)")
+    parser.add_argument("--process_id", default=None, type=int,
+                        help="multi-host: this process's id (or DFFX_PROCESS_ID)")
     args = parser.parse_args(argv)
+
+    # multi-host (DCN) data parallelism: join the cluster before any JAX call
+    distributed.initialize(args.coordinator, args.num_processes, args.process_id)
+    primary = distributed.is_primary()
 
     recipe = RECIPES[args.recipe]
     max_epoch = args.max_epoch if args.max_epoch is not None else recipe.max_epoch
     root = args.saveroot
     os.makedirs(os.path.join(root, "models"), exist_ok=True)
-    writer = SummaryWriter(os.path.join(root, "logs"))
+    writer = SummaryWriter(os.path.join(root, "logs")) if primary else _NullWriter()
 
-    mesh = make_mesh()
+    mesh = make_mesh()  # spans every device of every host
     n_dev = mesh.devices.size
     assert args.batch_size % n_dev == 0 or n_dev == 1, (
         f"batch_size {args.batch_size} must divide over {n_dev} devices"
@@ -128,9 +154,17 @@ def main(argv=None):
     else:
         state = create_train_state(init_params(specs, seed=args.seed), lr=args.lr)
 
-    step_fn = make_train_step(args.lr, recipe.loss, e2e=recipe.e2e)
+    step_fn = make_train_step(args.lr, recipe.loss, e2e=recipe.e2e,
+                              bn_mode=args.bn_mode, mesh=mesh)
     eval_fn = make_eval_fn(e2e=recipe.e2e)
     sharding = batch_sharding(mesh)
+
+    # replicate the state over the (possibly multi-host) mesh so jit treats
+    # params/opt state as global arrays alongside the batch-sharded inputs
+    from dffx.parallel import replicate
+
+    if mesh.devices.size > 1:
+        state = jax.device_put(state, replicate(mesh))
 
     num_train = len(train_ds) // args.batch_size
     start = time.time()
@@ -138,13 +172,19 @@ def main(argv=None):
     # (train_code_HCI.py prints/averages every 10 epochs)
     sums = dict(total=0.0, mid=0.0, l1=0.0, l2=0.0, l3=0.0)
     for epoch in range(args.load_epoch, max_epoch + 1):
-        if epoch % recipe.save_epoch == 0 and epoch != args.load_epoch:
+        if epoch % recipe.save_epoch == 0 and epoch != args.load_epoch and primary:
             ckpt.save(
                 os.path.join(root, "models", f"{epoch}.ckpt"),
                 {"step": state.step, "params": state.params, "opt_state": state.opt_state},
             )
-        if epoch % recipe.test_epoch == 0:
-            _validate(eval_fn, state.params, val_ds, recipe, writer, epoch)
+        if epoch % recipe.test_epoch == 0 and primary:
+            # multi-host: validation runs on the primary's local device only,
+            # so hand it host-local copies rather than global-mesh arrays
+            val_params = (
+                jax.tree_util.tree_map(np.asarray, state.params)
+                if jax.process_count() > 1 else state.params
+            )
+            _validate(eval_fn, val_params, val_ds, recipe, writer, epoch)
 
         loader = Loader(
             train_ds,
@@ -153,6 +193,8 @@ def main(argv=None):
             drop_last=True,
             num_threads=args.cpus,
             seed=args.seed + epoch,
+            process_id=jax.process_index(),
+            process_count=jax.process_count(),
         )
         steps = 0
         for batch in device_prefetch(iter(loader), sharding=sharding):
@@ -169,7 +211,7 @@ def main(argv=None):
             if args.steps_per_epoch and steps >= args.steps_per_epoch:
                 break
 
-        if epoch % recipe.print_epoch == 0:
+        if epoch % recipe.print_epoch == 0 and primary:
             denom = max(num_train, 1) * recipe.print_epoch
             print("Epoch:", epoch)
             print("AVG_DFF_TotalLoss:", sums["total"] / denom)

@@ -22,8 +22,11 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
+from jax import lax
+from jax.sharding import PartitionSpec as P
 
 from dffx.models import Ctx, dffnet_apply, e2e_apply, trainable_mask
+from dffx.parallel.mesh import DATA_AXIS
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,23 +39,34 @@ class LossConfig:
     conf_weighted: bool = False  # Smartphone confidence-weighted MSE
 
 
+def _weighted_sq_sums(est, gt, w) -> Tuple[jax.Array, jax.Array]:
+    """(numerator, denominator) of a weighted MSE — psum-able across shards."""
+    w = w.astype(jnp.float32)
+    return jnp.sum(w * jnp.square(est - gt)), jnp.sum(w)
+
+
 def masked_mse(est: jax.Array, gt: jax.Array, mask: jax.Array) -> jax.Array:
     """Mean squared error over masked pixels (= torch MSELoss(est[mask], gt[mask]))."""
-    m = mask.astype(jnp.float32)
-    return jnp.sum(m * jnp.square(est - gt)) / jnp.maximum(jnp.sum(m), 1.0)
+    num, den = _weighted_sq_sums(est, gt, mask)
+    return num / jnp.maximum(den, 1.0)
 
 
 def conf_masked_mse(est, gt, conf, mask) -> jax.Array:
-    m = mask.astype(jnp.float32)
-    c = conf.astype(jnp.float32) * m
-    return jnp.sum(c * jnp.square(est - gt)) / jnp.maximum(jnp.sum(c), 1e-12)
+    c = conf.astype(jnp.float32) * mask.astype(jnp.float32)
+    num, den = _weighted_sq_sums(est, gt, c)
+    return num / jnp.maximum(den, 1e-12)
 
 
 def total_loss(
     outs: Tuple[jax.Array, ...],
     batch: Dict[str, jax.Array],
     cfg: LossConfig,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Weighted four-head loss.  With ``axis_name`` (inside shard_map), the
+    MSE numerator/denominator are psum'd first, so the result equals the loss
+    of the *gathered* global batch — exactly what ``nn.DataParallel`` computes
+    on device 0 after the output gather (`train_code_DDFF.py:151-158`)."""
     mid, p1, p2, p3 = outs[:4]
     gt = batch["depth"]
     mask = batch["mask"]
@@ -69,12 +83,21 @@ def total_loss(
     mid_gt = gt_n if cfg.normalize_mid else gt
 
     if cfg.conf_weighted:
-        conf = batch["conf"]
-        losses = [conf_masked_mse(p, gt_n, conf, mask) for p in preds]
-        mid_loss = conf_masked_mse(mid_n, mid_gt, conf, mask)
+        w_arr = batch["conf"].astype(jnp.float32) * mask.astype(jnp.float32)
+        guard = 1e-12
     else:
-        losses = [masked_mse(p, gt_n, mask) for p in preds]
-        mid_loss = masked_mse(mid_n, mid_gt, mask)
+        w_arr = mask
+        guard = 1.0
+
+    def term(est, gt_):
+        num, den = _weighted_sq_sums(est, gt_, w_arr)
+        if axis_name is not None:
+            num = lax.psum(num, axis_name)
+            den = lax.psum(den, axis_name)
+        return num / jnp.maximum(den, guard)
+
+    losses = [term(p, gt_n) for p in preds]
+    mid_loss = term(mid_n, mid_gt)
 
     w_mid, w1, w2, w3 = cfg.weights
     total = w_mid * mid_loss + w1 * losses[0] + w2 * losses[1] + w3 * losses[2]
@@ -119,6 +142,9 @@ def make_train_step(
     compute_dtype=jnp.float32,
     donate: bool = True,
     remat: bool = False,
+    bn_mode: str = "sync",
+    mesh=None,
+    debug_grads: bool = False,
 ) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the jitted train step.
 
@@ -131,7 +157,23 @@ def make_train_step(
     is concatenated late — SURVEY.md §7 hard part 5) are recomputed in the
     backward pass instead of living in HBM, trading ~30% FLOPs for the memory
     that large crops / big batches need.
+
+    ``bn_mode`` selects the BatchNorm-under-data-parallelism semantics:
+
+    * ``"sync"`` (default): plain ``jit`` — XLA computes BN batch statistics
+      over the *global* batch regardless of sharding (sync-BN; the strictly
+      more consistent choice, mesh-invariant).
+    * ``"per_shard"``: ``shard_map`` over the ``data`` axis of ``mesh`` —
+      each shard computes BN statistics over its local sub-batch and running
+      stats are kept from shard 0, faithfully reproducing the reference's
+      ``nn.DataParallel`` (`train_code_DDFF.py:62`): per-replica batch stats,
+      replica-0 buffer updates, loss over the gathered global outputs.
+      Requires every batch leaf to be shardable on axis 0 over the data axis.
     """
+    if bn_mode not in ("sync", "per_shard"):
+        raise ValueError(f"bn_mode must be 'sync' or 'per_shard', got {bn_mode!r}")
+    if bn_mode == "per_shard" and mesh is None:
+        raise ValueError("bn_mode='per_shard' requires a mesh")
 
     def forward(params, fs, batch):
         new_stats: Dict[str, jax.Array] = {}
@@ -147,20 +189,57 @@ def make_train_step(
             forward, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
         )
 
-    def loss_fn(trainables, stats, batch):
+    def loss_fn(trainables, stats, batch, axis_name=None):
         params = {**trainables, **stats}
         fs = batch["fs"].astype(compute_dtype)
         outs, new_stats = forward(params, fs, batch)
-        total, logs = total_loss(outs, batch, loss_cfg)
+        total, logs = total_loss(outs, batch, loss_cfg, axis_name=axis_name)
         return total, (new_stats, logs)
+
+    def _grads_sync(trainables, stats, batch):
+        (_, (new_stats, logs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainables, stats, batch
+        )
+        return grads, new_stats, logs
+
+    def _grads_per_shard(trainables, stats, batch):
+        """shard_map body: params replicated, batch sharded on axis 0."""
+
+        def local(trainables, stats, batch):
+            (_, (new_stats, logs)), grads = jax.value_and_grad(
+                lambda t: loss_fn(t, stats, batch, axis_name=DATA_AXIS),
+                has_aux=True,
+            )(trainables)
+            # grads w.r.t. the replicated (invariant) params come out of the
+            # vma-aware shard_map already psum'd across shards — no extra
+            # reduction here (verified: an explicit psum double-counts)
+            # nn.DataParallel's replica 0 IS the original module — only its
+            # sub-batch updates the running statistics
+            is0 = (lax.axis_index(DATA_AXIS) == 0).astype(jnp.float32)
+            new_stats = jax.tree_util.tree_map(
+                lambda s: lax.psum((s.astype(jnp.float32) * is0), DATA_AXIS).astype(s.dtype)
+                if jnp.issubdtype(s.dtype, jnp.floating)
+                else lax.psum(jnp.where(lax.axis_index(DATA_AXIS) == 0, s, jnp.zeros_like(s)), DATA_AXIS),
+                new_stats,
+            )
+            return grads, new_stats, logs
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS)),
+            out_specs=(P(), P(), P()),
+        )(trainables, stats, batch)
+
+    grads_fn = _grads_per_shard if bn_mode == "per_shard" else _grads_sync
 
     def step(state: TrainState, batch):
         mask = trainable_mask(state.params)
         trainables = {k: v for k, v in state.params.items() if mask[k]}
         stats = {k: v for k, v in state.params.items() if not mask[k]}
-        (_, (new_stats, logs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainables, stats, batch
-        )
+        grads, new_stats, logs = grads_fn(trainables, stats, batch)
+        if debug_grads:
+            logs = {**logs, "grads": grads}
         grads_full = {k: grads.get(k, jnp.zeros_like(v)) for k, v in state.params.items()}
         opt = _make_optimizer(lr, state.params)
         updates, new_opt_state = opt.update(grads_full, state.opt_state, state.params)
