@@ -218,15 +218,15 @@ def srd_specs(s: SpecTable, pfx: str, c: int) -> None:
     conv_spec(s, f"{pfx}.N_ch_attention.2", c, c, (1, 1, 1))
 
 
-# the deployed Mosaic compile helper fails (apparently by resource limits) on
-# whole-model programs whose fused kernels leave the envelope validated here:
-# stage width a multiple of 128 and stage area <= 384^2.  Outside it the model
-# silently uses the XLA path (still correct, ~190x the CPU baseline).
-PALLAS_AREA_CAP = 384 * 384
+# Round 2: the kernels stream two row-blocks per tile and split W internally
+# (lane padding + halo'd recursion), so the fused path covers every real eval
+# shape — DDFF 384x576, HCI 512x512, Middlebury/FlyingThings 544x960+ — not
+# just the 384^2 bench shape round 1's whole-slice BlockSpecs were capped to.
+# Only the row-tile divisibility remains as a gate.
 
 
 def _pallas_shape_ok(h: int, w: int) -> bool:
-    return h % 16 == 0 and w % 128 == 0 and h * w <= PALLAS_AREA_CAP
+    return h % 16 == 0 and w >= 32
 
 
 def _srd_pallas_ok(ctx: Ctx, x) -> bool:

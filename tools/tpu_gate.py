@@ -1,0 +1,119 @@
+"""On-device compiled-Pallas numerics gate (VERDICT round-1 weak #5).
+
+CI runs the kernels interpret-mode only; Mosaic lowering regressions are
+invisible there.  This gate compiles every fused kernel at every supported
+eval shape on the real chip and compares against the XLA path in the same
+dtype.  Run standalone:
+
+    python tools/tpu_gate.py            # exits non-zero on any mismatch
+
+or let bench.py invoke it (reported as the "pallas_gate" field).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# (H, W) per dataset eval workload (SURVEY.md §6) + the bench shape
+SHAPES = [(256, 256), (352, 256), (384, 576), (512, 512), (544, 960), (384, 384)]
+
+
+def _check(name, got, ref, tol, failures):
+    got = np.asarray(got, np.float32)
+    ref = np.asarray(ref, np.float32)
+    scale = max(np.abs(ref).max(), 1e-6)
+    err = np.abs(got - ref).max() / scale
+    ok = bool(err < tol)
+    if not ok:
+        failures.append(f"{name}: rel err {err:.2e} >= {tol}")
+    return ok
+
+
+def main() -> int:
+    if jax.devices()[0].platform != "tpu":
+        print(json.dumps({"pallas_gate": "skipped", "reason": "not on tpu"}))
+        return 0
+
+    from dffx.ops import batch_norm, conv3d
+    from dffx.ops.pallas_kernels import (
+        bn_fused_affine,
+        fm_conv_bn_relu,
+        rb2d_residual,
+        srd_attention_residual,
+    )
+    from dffx.utils.profiling import enable_persistent_cache
+
+    enable_persistent_cache()
+    rng = np.random.default_rng(0)
+    dt = jnp.bfloat16
+    # both paths run in bf16; the fused kernels accumulate in fp32 while XLA
+    # may not, so the comparison tolerance is bf16-scale
+    tol = 3e-2
+    failures: list[str] = []
+    n_checks = 0
+
+    for h, w in SHAPES:
+        x3 = jnp.asarray(rng.uniform(-1, 1, (1, 2, h, w, 3)), dt)
+        wk = jnp.asarray(rng.standard_normal((1, 9, 9, 3, 8)) * 0.1, dt)
+        g, b = jnp.ones(8), jnp.zeros(8)
+        mu = jnp.asarray(rng.standard_normal(8) * 0.1, jnp.float32)
+        va = jnp.asarray(rng.random(8) + 0.5, jnp.float32)
+        scale, shift = bn_fused_affine(g, b, mu, va)
+        try:
+            got = jax.jit(lambda x: fm_conv_bn_relu(x, wk, scale, shift))(x3)
+            ref = jax.jit(
+                lambda x: jnp.maximum(
+                    batch_norm(conv3d(x, wk, padding=(0, 8, 8), dilation=(1, 2, 2)),
+                               mu, va, g, b), 0)
+            )(x3)
+            _check(f"fm@{h}x{w}", got, ref, tol, failures)
+        except Exception as e:  # Mosaic compile failure IS a gate failure
+            failures.append(f"fm@{h}x{w}: {type(e).__name__}: {str(e)[:120]}")
+        n_checks += 1
+
+        for c, hh, ww in [(8, h, w), (16, h // 2, w // 2), (32, h // 4, w // 4)]:
+            if hh % 16 or ww < 32:
+                continue
+            x = jnp.asarray(rng.uniform(-1, 1, (1, 2, hh, ww, c)), dt)
+            w1 = jnp.asarray(rng.standard_normal((1, 3, 3, c, c)) * 0.1, dt)
+            w2 = jnp.asarray(rng.standard_normal((1, 3, 3, c, c)) * 0.1, dt)
+            aff = (jnp.ones(c), jnp.zeros(c))
+            try:
+                got = jax.jit(lambda x: rb2d_residual(x, w1, aff, w2, aff))(x)
+                ref = jax.jit(
+                    lambda x: jnp.maximum(
+                        x + conv3d(jnp.maximum(conv3d(x, w1, padding=(0, 1, 1)), 0),
+                                   w2, padding=(0, 1, 1)), 0)
+                )(x)
+                _check(f"rb2d c{c}@{hh}x{ww}", got, ref, tol, failures)
+            except Exception as e:
+                failures.append(f"rb2d c{c}@{hh}x{ww}: {type(e).__name__}: {str(e)[:120]}")
+            n_checks += 1
+
+            wn = jnp.asarray(rng.standard_normal((3, 1, 1, c, c)) * 0.1, dt)
+            wx = jnp.asarray(rng.standard_normal((1, 1, 1, c, c)) * 0.1, dt)
+            try:
+                got = jax.jit(lambda x: srd_attention_residual(x, wn, wx))(x)
+                ref = jax.jit(
+                    lambda x: x + jnp.maximum(
+                        conv3d(jnp.maximum(conv3d(x, wn, padding=(1, 0, 0)), 0), wx), 0)
+                )(x)
+                _check(f"attn c{c}@{hh}x{ww}", got, ref, tol, failures)
+            except Exception as e:
+                failures.append(f"attn c{c}@{hh}x{ww}: {type(e).__name__}: {str(e)[:120]}")
+            n_checks += 1
+
+    status = "pass" if not failures else "fail"
+    print(json.dumps({"pallas_gate": status, "checks": n_checks,
+                      "failures": failures}))
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
