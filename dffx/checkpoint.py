@@ -89,20 +89,165 @@ def to_torch_state_dict(params: Mapping[str, jax.Array], specs: SpecTable) -> Di
 
 
 # ---------------------------------------------------------------------------
-# Native persistence (train/resume).  A flat dict of ndarrays: msgpack-free,
-# mmap-friendly, multi-host safe when written by process 0 only.
+# Native persistence (train/resume).
+#
+# Format v2: a single .ckpt file that is an npz archive — each tree leaf as
+# one array member, the tree layout as a JSON manifest member.  Versioned,
+# dependency-free (no pickled optax/jax class internals, so checkpoints
+# survive library upgrades), atomic (tmp + rename), and async-writable.
+# Round-1 checkpoints were pickled pytrees; ``load`` still reads those
+# (migration path) — loading one and saving again upgrades it.
 # ---------------------------------------------------------------------------
+
+FORMAT_VERSION = 2
+_MANIFEST = "__dffx_manifest__"
+
+
+def _flatten(tree):
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    keys = [jax.tree_util.keystr(p) for p, _ in leaves]
+    assert len(set(keys)) == len(keys), "duplicate tree paths"
+    return keys, [v for _, v in leaves]
+
+
+def _write(path: str, keys, arrays) -> None:
+    import io
+    import json
+    import zipfile
+
+    manifest = json.dumps({"version": FORMAT_VERSION, "keys": keys})
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            # ZIP_STORED: tensors don't deflate, and mmap-style reads stay cheap
+            with zipfile.ZipFile(f, "w", zipfile.ZIP_STORED) as zf:
+                zf.writestr(_MANIFEST, manifest)
+                for i, arr in enumerate(arrays):
+                    buf = io.BytesIO()
+                    np.lib.format.write_array(buf, np.ascontiguousarray(arr))
+                    zf.writestr(f"leaf_{i}.npy", buf.getvalue())
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def save(path: str, tree) -> None:
+    """Write a checkpoint atomically (format v2)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    flat = jax.tree_util.tree_map(np.asarray, tree)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(flat, f, protocol=pickle.HIGHEST_PROTOCOL)
-    os.replace(tmp, path)
+    keys, leaves = _flatten(tree)
+    _write(path, keys, [np.asarray(v) for v in leaves])
 
 
-def load(path: str):
+class AsyncSave:
+    """Handle for an in-flight background checkpoint write."""
+
+    def __init__(self, thread):
+        self._thread = thread
+        self.error = None
+
+    def wait(self) -> None:
+        self._thread.join()
+        if self.error is not None:
+            raise self.error
+
+
+def save_async(path: str, tree) -> AsyncSave:
+    """Snapshot the tree to host memory, then write in a background thread —
+    the train loop keeps stepping while the previous epoch's checkpoint lands.
+    Call ``.wait()`` (or start the next save) before relying on the file."""
+    import threading
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    keys, leaves = _flatten(tree)
+    arrays = [np.asarray(v) for v in leaves]  # device->host snapshot, blocking
+
+    def run():
+        try:
+            _write(path, keys, arrays)
+        except BaseException as e:  # surfaced by wait()
+            handle.error = e
+
+    t = threading.Thread(target=run, daemon=True)
+    handle = AsyncSave(t)
+    t.start()
+    return handle
+
+
+def _regroup(by_key):
+    """Rebuild nested dicts from keystr paths for template-less loads.
+
+    Dict segments (``['name']``) become real nesting, so ``blob["step"]`` /
+    ``blob["params"][<torch key>]`` work like the v1 pickles did; any
+    non-dict remainder (optax namedtuple attribute paths) stays a flat
+    string key inside its deepest dict — pass ``template`` to restore those
+    into real optax state objects.
+    """
+    import re
+
+    seg = re.compile(r"\['((?:[^'\\]|\\.)*)'\]")
+    out: Dict[str, object] = {}
+    for key, arr in by_key.items():
+        parts, pos = [], 0
+        while (m := seg.match(key, pos)) is not None:
+            parts.append(m.group(1))
+            pos = m.end()
+        rest = key[pos:]
+        if rest:
+            dirs, leaf = parts, rest
+        else:
+            dirs, leaf = parts[:-1], parts[-1]
+        node = out
+        for d in dirs:
+            node = node.setdefault(d, {})
+        node[leaf] = arr
+    return out
+
+
+def load(path: str, template=None):
+    """Load a checkpoint.
+
+    Format v2 files need ``template`` — any pytree with the same structure
+    (e.g. a freshly created ``TrainState``) whose leaves are replaced by the
+    stored arrays.  Without a template, returns ``{keystr: array}``.
+    Legacy (round-1 pickle) files load as the original pytree regardless.
+    """
+    import json
+    import zipfile
+
     with open(path, "rb") as f:
-        return pickle.load(f)
+        magic = f.read(2)
+    if magic != b"PK":  # legacy pickle checkpoint (format v1)
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+    with zipfile.ZipFile(path) as zf:
+        manifest = json.loads(zf.read(_MANIFEST).decode())
+        if manifest["version"] > FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint {path!r} has format v{manifest['version']} > "
+                f"supported v{FORMAT_VERSION}"
+            )
+        import io
+
+        arrays = [
+            np.lib.format.read_array(io.BytesIO(zf.read(f"leaf_{i}.npy")))
+            for i in range(len(manifest["keys"]))
+        ]
+    by_key = dict(zip(manifest["keys"], arrays))
+    if template is None:
+        return _regroup(by_key)
+    tkeys, _ = _flatten(template)
+    missing = sorted(set(tkeys) - set(by_key))
+    extra = sorted(set(by_key) - set(tkeys))
+    if missing or extra:
+        raise ValueError(
+            f"checkpoint/template mismatch: missing={missing[:3]} extra={extra[:3]} "
+            f"({len(missing)} missing, {len(extra)} extra)"
+        )
+    leaves_path, treedef = jax.tree_util.tree_flatten_with_path(template)
+    return jax.tree_util.tree_unflatten(
+        treedef, [by_key[jax.tree_util.keystr(p)] for p, _ in leaves_path]
+    )

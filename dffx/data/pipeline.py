@@ -18,8 +18,9 @@ import numpy as np
 
 
 def _stack_batch(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
-    keys = [k for k in samples[0] if k != "unpadded"]
-    return {k: np.stack([np.asarray(s[k]) for s in samples], axis=0) for k in keys}
+    # "unpadded" (h, w) tuples stack to a (B, 2) int array — batched eval
+    # needs them; the train CLI filters its batch keys anyway
+    return {k: np.stack([np.asarray(s[k]) for s in samples], axis=0) for k in samples[0]}
 
 
 class Loader:

@@ -83,7 +83,9 @@ class TimedForward:
         outs = self._jitted(self.params, *args)
         outs = jax.block_until_ready(outs)
         self.total += time.time() - t0
-        self.count += 1
+        # count samples, not calls: with batched eval AVG_time stays the
+        # per-sample average the reference prints (`test.py:117-119,:181`)
+        self.count += int(args[0].shape[0]) if args and args[0].ndim >= 4 else 1
         return outs
 
     @property

@@ -46,13 +46,41 @@ def _forward_pred3(fwd: TimedForward, sample) -> np.ndarray:
     return np.asarray(outs[3], dtype=np.float32)[0]
 
 
-def run_masked_eval(fwd, dataset, *, save_root, min_depth, max_depth, crop=True):
+def iter_preds(fwd, dataset, *, batch_size=1, num_threads=4):
+    """Yield ``(idx, sample, pred3)`` in dataset order.
+
+    ``batch_size > 1`` runs the forward over stacked samples with the
+    ``Loader``'s threaded decode prefetch — each eval dataset has one fixed
+    shape, so no shape bucketing is needed (Middlebury's ragged path-list
+    shapes stay at batch 1).  Per-sample metric/print behaviour is unchanged;
+    AVG_time amortizes the batch (TimedForward counts samples)."""
+    if batch_size <= 1:
+        for idx in range(len(dataset)):
+            s = dataset[idx]
+            yield idx, s, _forward_pred3(fwd, s)
+        return
+    from dffx.data import Loader
+
+    loader = Loader(dataset, batch_size, shuffle=False, num_threads=num_threads)
+    idx = 0
+    for batch in loader:
+        outs = fwd(jnp.asarray(batch["fs"]), jnp.asarray(batch["focus_dists"]))
+        p3 = np.asarray(outs[3], dtype=np.float32)
+        for b in range(p3.shape[0]):
+            sample = {k: v[b] for k, v in batch.items()}
+            if "unpadded" in sample:
+                sample["unpadded"] = tuple(int(v) for v in sample["unpadded"])
+            yield idx, sample, p3[b]
+            idx += 1
+
+
+def run_masked_eval(fwd, dataset, *, save_root, min_depth, max_depth, crop=True,
+                    batch_size=1, num_threads=4):
     sums = {name: 0.0 for name, _ in METRIC_NAMES}
     acc = {f"Avg_accuracy_{k}": 0.0 for k in (1, 2, 3)}
     n = 0
-    for idx in range(len(dataset)):
-        sample = dataset[idx]
-        pred = _forward_pred3(fwd, sample)
+    for idx, sample, pred in iter_preds(fwd, dataset, batch_size=batch_size,
+                                        num_threads=num_threads):
         gt, mask = sample["depth"], sample["mask"]
         if crop:
             h, w = sample["unpadded"]
@@ -83,11 +111,16 @@ def main(argv=None):
     parser.add_argument("--checkpoint", type=str, default=None)
     parser.add_argument("--dtype", choices=["fp32", "bf16"], default="fp32")
     parser.add_argument("--allow-random-init", action="store_true")
+    parser.add_argument("--batch_size", type=int, default=8,
+                        help="eval forward batch (fixed-shape datasets); "
+                             "1 reproduces the reference's sample-at-a-time loop")
+    parser.add_argument("--cpus", type=int, default=4, help="decoder threads")
     args = parser.parse_args(argv)
 
     dtype = jnp.float32 if args.dtype == "fp32" else jnp.bfloat16
     specs = network_specs()
     droot = args.data_root
+    bs, cpus = args.batch_size, args.cpus
 
     def make_fwd(root):
         path = args.checkpoint or os.path.join(root, "check_point.pth")
@@ -98,14 +131,16 @@ def main(argv=None):
         root = os.path.join(args.results_root, "DefocusNet/")
         fwd = make_fwd(root)
         dataset = DefocusNetDataset(root=os.path.join(droot, "fs_6/"), mode="test")
-        run_masked_eval(fwd, dataset, save_root=root, min_depth=0.1, max_depth=1.5, crop=False)
+        run_masked_eval(fwd, dataset, save_root=root, min_depth=0.1, max_depth=1.5,
+                        crop=False, batch_size=bs, num_threads=cpus)
         print("AVG_time:", fwd.avg_time)
 
     elif args.dataset == "4D_Light_Field":
         root = os.path.join(args.results_root, "4D_Light_Field/")
         fwd = make_fwd(root)
         dataset = HCIDataset(h5_path=os.path.join(droot, "HCI/HCI_FS_trainval.h5"), split="val")
-        run_masked_eval(fwd, dataset, save_root=root, min_depth=-2.5, max_depth=2.5, crop=False)
+        run_masked_eval(fwd, dataset, save_root=root, min_depth=-2.5, max_depth=2.5,
+                        crop=False, batch_size=bs, num_threads=cpus)
         print("AVG_time:", fwd.avg_time)
 
     elif args.dataset == "DDFF":
@@ -117,9 +152,9 @@ def main(argv=None):
         max_depth = baseline * focal_length / 0.5
         min_depth = baseline * focal_length / 7
         preds = []
-        for idx in range(len(dataset)):
-            sample = dataset[idx]
-            pred = _forward_pred3(fwd, sample)[: dataset.HEIGHT, : dataset.WIDTH]
+        for idx, _sample, pred in iter_preds(fwd, dataset, batch_size=bs,
+                                             num_threads=cpus):
+            pred = pred[: dataset.HEIGHT, : dataset.WIDTH]
             preds.append(pred)
             save_jet(
                 os.path.join(root, "Depth", f"{idx}.jpg"),
@@ -134,9 +169,8 @@ def main(argv=None):
         dataset = SmartphoneDataset(root=os.path.join(droot, "Real_data_DP/"), mode="test")
         avg_mse = avg_mae = 0.0
         n = 0
-        for idx in range(len(dataset)):
-            sample = dataset[idx]
-            pred = _forward_pred3(fwd, sample)
+        for idx, sample, pred in iter_preds(fwd, dataset, batch_size=bs,
+                                            num_threads=cpus):
             h, w = sample["unpadded"]
             pred = pred[:h, :w]
             gt, mask, conf = sample["depth"], sample["mask"], sample["conf"]
@@ -162,6 +196,8 @@ def main(argv=None):
         run_masked_eval(
             fwd, dataset, save_root=os.path.join(root, "Middlebury/"),
             min_depth=10, max_depth=60,
+            # path-list scenes have per-scene shapes — stay sample-at-a-time
+            batch_size=1,
         )
         print("AVG_time:", fwd.avg_time)
         # second pass over DefocusNet with range [0.1, 1.5] (`test.py:182-241`)
@@ -169,6 +205,7 @@ def main(argv=None):
         run_masked_eval(
             fwd, dataset2, save_root=os.path.join(root, "DefocusNet/"),
             min_depth=0.1, max_depth=1.5, crop=False,
+            batch_size=bs, num_threads=cpus,
         )
     else:
         raise SystemExit(f"unknown --dataset {args.dataset!r}")

@@ -144,15 +144,21 @@ def main(argv=None):
     # flag keeps the reference's `load_epoch > 1` quirk (train_code_DDFF.py:63)
     # — otherwise a crash right after the first save would silently restart
     # from random weights while printing "auto-resume from epoch 1".
+    state = create_train_state(init_params(specs, seed=args.seed), lr=args.lr)
     if args.load_epoch >= 1 if auto_resume else args.load_epoch > 1:
-        blob = ckpt.load(os.path.join(root, "models", f"{args.load_epoch}.ckpt"))
+        # the fresh state doubles as the load template (v2 checkpoints store
+        # leaves + paths, not pickled optax internals); legacy v1 pickles
+        # come back as the same dict structure
+        blob = ckpt.load(
+            os.path.join(root, "models", f"{args.load_epoch}.ckpt"),
+            template={"step": state.step, "params": state.params,
+                      "opt_state": state.opt_state},
+        )
         state = TrainState(
             step=jnp.asarray(blob["step"]),
             params={k: jnp.asarray(v) for k, v in blob["params"].items()},
             opt_state=jax.tree_util.tree_map(jnp.asarray, blob["opt_state"]),
         )
-    else:
-        state = create_train_state(init_params(specs, seed=args.seed), lr=args.lr)
 
     step_fn = make_train_step(args.lr, recipe.loss, e2e=recipe.e2e,
                               bn_mode=args.bn_mode, mesh=mesh)
@@ -171,9 +177,12 @@ def main(argv=None):
     # loss sums accumulate across print_epoch epochs, like the reference
     # (train_code_HCI.py prints/averages every 10 epochs)
     sums = dict(total=0.0, mid=0.0, l1=0.0, l2=0.0, l3=0.0)
+    pending_save = None
     for epoch in range(args.load_epoch, max_epoch + 1):
         if epoch % recipe.save_epoch == 0 and epoch != args.load_epoch and primary:
-            ckpt.save(
+            if pending_save is not None:
+                pending_save.wait()
+            pending_save = ckpt.save_async(
                 os.path.join(root, "models", f"{epoch}.ckpt"),
                 {"step": state.step, "params": state.params, "opt_state": state.opt_state},
             )
@@ -224,6 +233,8 @@ def main(argv=None):
             start = time.time()
             sums = dict(total=0.0, mid=0.0, l1=0.0, l2=0.0, l3=0.0)
 
+    if pending_save is not None:
+        pending_save.wait()
     writer.close()
 
 

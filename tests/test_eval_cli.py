@@ -52,6 +52,40 @@ def test_eval_cli_defocusnet(fs6_root, tmp_path, capsys):
     assert sorted(jpgs) == ["0.jpg", "1.jpg"]
 
 
+def _parse_metrics(out: str) -> dict:
+    vals = {}
+    for line in out.splitlines():
+        if ":" in line and line.split(":")[0].strip().startswith(("Avg_", "AVG_")):
+            key, v = line.split(":", 1)
+            try:
+                vals[key.strip()] = float(v)
+            except ValueError:
+                pass
+    return vals
+
+
+def test_eval_cli_batched_matches_batch1(fs6_root, tmp_path, capsys):
+    """--batch_size N must print the same metrics as the reference's
+    sample-at-a-time loop (batched eval is a pure throughput change)."""
+    from dffx.eval import test as T
+
+    outs = []
+    for bs in ("1", "2"):
+        T.main([
+            "--dataset", "DefocusNet",
+            "--data-root", fs6_root + "/",
+            "--results-root", str(tmp_path / f"results_b{bs}") + "/",
+            "--allow-random-init",
+            "--batch_size", bs,
+        ])
+        outs.append(_parse_metrics(capsys.readouterr().out))
+    m1, m2 = outs
+    keys = [k for k in m1 if k != "AVG_time"]
+    assert keys and set(keys) == set(k for k in m2 if k != "AVG_time")
+    for k in keys:
+        np.testing.assert_allclose(m2[k], m1[k], rtol=1e-5, err_msg=k)
+
+
 @pytest.mark.skipif(not os.path.isdir(REF_SCENES), reason="no bundled scene")
 def test_real_scenes_cli(tmp_path, capsys, monkeypatch):
     """Alignment + depth CLI on a shrunken copy of the bundled balls scene

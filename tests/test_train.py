@@ -91,6 +91,82 @@ def test_e2e_train_step_runs_and_updates_alignment():
     assert moved > 0, "alignment head did not receive gradient through the warp"
 
 
+def test_checkpoint_v2_template_roundtrip(tmp_path, batch):
+    """Format-v2 resume: leaves restore into real optax state objects via a
+    fresh-state template, and one more step runs from the restored state."""
+    params = init_params(network_specs(), seed=0)
+    state = create_train_state(params, lr=1e-3)
+    step = make_train_step(1e-3, LossConfig(), donate=False)
+    state, _ = step(state, batch)
+    path = str(tmp_path / "models" / "1.ckpt")
+    ckpt.save(path, {"step": state.step, "params": state.params,
+                     "opt_state": state.opt_state})
+    with open(path, "rb") as f:
+        assert f.read(2) == b"PK", "v2 checkpoints are zip archives, not pickles"
+
+    fresh = create_train_state(init_params(network_specs(), seed=1), lr=1e-3)
+    blob = ckpt.load(path, template={"step": fresh.step, "params": fresh.params,
+                                     "opt_state": fresh.opt_state})
+    restored = type(state)(
+        step=jnp.asarray(blob["step"]),
+        params={k: jnp.asarray(v) for k, v in blob["params"].items()},
+        opt_state=jax.tree_util.tree_map(jnp.asarray, blob["opt_state"]),
+    )
+    # restored optimizer state is structurally identical (namedtuples back)
+    for got, want in zip(jax.tree_util.tree_leaves(restored.opt_state),
+                         jax.tree_util.tree_leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    s2a, _ = step(state, batch)
+    s2b, _ = step(restored, batch)
+    key = "DFF_net.classif3.0.weight"
+    np.testing.assert_allclose(np.asarray(s2b.params[key]),
+                               np.asarray(s2a.params[key]), atol=1e-7)
+
+
+def test_checkpoint_v1_pickle_migration(tmp_path, batch):
+    """Round-1 pickle checkpoints must still load (migration path)."""
+    import pickle
+
+    params = init_params(network_specs(), seed=0)
+    state = create_train_state(params, lr=1e-3)
+    path = str(tmp_path / "legacy.ckpt")
+    flat = jax.tree_util.tree_map(np.asarray, {
+        "step": state.step, "params": state.params, "opt_state": state.opt_state})
+    with open(path, "wb") as f:
+        pickle.dump(flat, f, protocol=pickle.HIGHEST_PROTOCOL)
+    blob = ckpt.load(path)
+    assert int(blob["step"]) == 0
+    key = "DFF_net.classif3.0.weight"
+    np.testing.assert_array_equal(blob["params"][key], np.asarray(state.params[key]))
+
+
+def test_checkpoint_crash_safety(tmp_path):
+    """A crash mid-save (garbage tmp file) must not corrupt the previous
+    checkpoint, and the next save must land atomically over it."""
+    import os
+
+    path = str(tmp_path / "m" / "1.ckpt")
+    ckpt.save(path, {"step": np.int32(1), "w": np.arange(4.0)})
+    # simulate a writer that died mid-stream
+    with open(path + ".tmp.12345", "wb") as f:
+        f.write(b"garbage")
+    blob = ckpt.load(path)
+    assert int(blob["step"]) == 1
+    ckpt.save(path, {"step": np.int32(2), "w": np.arange(4.0) * 2})
+    assert int(ckpt.load(path)["step"]) == 2
+    # interrupted-save artifacts are never picked up as checkpoints
+    assert os.path.exists(path + ".tmp.12345")
+
+
+def test_checkpoint_async_save(tmp_path):
+    handle = ckpt.save_async(str(tmp_path / "a.ckpt"),
+                             {"step": np.int32(3), "w": np.ones((8, 8))})
+    handle.wait()
+    blob = ckpt.load(str(tmp_path / "a.ckpt"))
+    assert int(blob["step"]) == 3
+    np.testing.assert_array_equal(blob["w"], np.ones((8, 8)))
+
+
 def test_checkpoint_roundtrip(tmp_path, batch):
     params = init_params(network_specs(), seed=0)
     state = create_train_state(params, lr=1e-3)
