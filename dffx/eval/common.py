@@ -78,7 +78,10 @@ class TimedForward:
         self._jitted = jax.jit(fwd)
 
     def __call__(self, *args):
-        args = tuple(jnp.asarray(a) for a in args)
+        # complete the H2D copies before starting the clock — the reference
+        # times the forward after `.cuda()` (`test.py:115-118`), so AVG_time
+        # measures the model, not the host link
+        args = jax.block_until_ready(tuple(jnp.asarray(a) for a in args))
         t0 = time.time()
         outs = self._jitted(self.params, *args)
         outs = jax.block_until_ready(outs)

@@ -29,6 +29,10 @@ def main(argv=None):
     parser.add_argument("--allow-random-init", action="store_true")
     args = parser.parse_args(argv)
 
+    from dffx.utils.profiling import enable_persistent_cache
+
+    enable_persistent_cache()  # repeat runs load compiled programs from disk
+
     import cv2
 
     params = load_params_auto(

@@ -59,12 +59,36 @@ def iter_preds(fwd, dataset, *, batch_size=1, num_threads=4):
             s = dataset[idx]
             yield idx, s, _forward_pred3(fwd, s)
         return
+    import queue
+    import threading
+
+    import jax
+
     from dffx.data import Loader
 
     loader = Loader(dataset, batch_size, shuffle=False, num_threads=num_threads)
+    # overlap host->device input copies with the previous batch's forward
+    # (device_put is async; two batches in flight)
+    buf: "queue.Queue" = queue.Queue(maxsize=2)
+    sentinel = object()
+
+    def producer():
+        try:
+            for batch in loader:
+                dev = (jax.device_put(batch["fs"]),
+                       jax.device_put(batch["focus_dists"]))
+                buf.put((batch, dev))
+        finally:
+            buf.put(sentinel)
+
+    threading.Thread(target=producer, daemon=True).start()
     idx = 0
-    for batch in loader:
-        outs = fwd(jnp.asarray(batch["fs"]), jnp.asarray(batch["focus_dists"]))
+    while True:
+        item = buf.get()
+        if item is sentinel:
+            break
+        batch, (fs_dev, fd_dev) = item
+        outs = fwd(fs_dev, fd_dev)
         p3 = np.asarray(outs[3], dtype=np.float32)
         for b in range(p3.shape[0]):
             sample = {k: v[b] for k, v in batch.items()}
@@ -116,6 +140,10 @@ def main(argv=None):
                              "1 reproduces the reference's sample-at-a-time loop")
     parser.add_argument("--cpus", type=int, default=4, help="decoder threads")
     args = parser.parse_args(argv)
+
+    from dffx.utils.profiling import enable_persistent_cache
+
+    enable_persistent_cache()  # repeat runs load compiled programs from disk
 
     dtype = jnp.float32 if args.dtype == "fp32" else jnp.bfloat16
     specs = network_specs()

@@ -367,9 +367,13 @@ def srd_attention_residual_cf(fs: jax.Array, wn, w1, *, n: int, c: int) -> jax.A
     b, _, h, wd = fs.shape
     f = fs  # naming convenience for dtype below
     assert h % RB_H_TILE == 0
-    if wd > 512:
-        # the attention is pointwise in space — chunk W with no halo to keep
-        # the (N*C, T, W) blocks inside VMEM at wide eval shapes
+    # the attention is pointwise in space — chunk W with no halo to keep the
+    # (N*C, T, W) blocks inside VMEM at wide eval shapes.  Budget: the in/out
+    # blocks are double-buffered, so 4 * (N*C * T * wp * 2B) must stay well
+    # under the 16 MB scoped-vmem limit (Middlebury half-res N*C=240 at
+    # wp=512 hit 19.3 MB without the channel term).
+    wp_now = -(-wd // 128) * 128
+    if wd > 512 or n * c * wp_now > 64 * 1024:
         mid = max(wd // 2 // 128, 1) * 128
         return jnp.concatenate(
             [srd_attention_residual_cf(fs[..., :mid], wn, w1, n=n, c=c),

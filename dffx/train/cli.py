@@ -115,6 +115,10 @@ def main(argv=None):
     distributed.initialize(args.coordinator, args.num_processes, args.process_id)
     primary = distributed.is_primary()
 
+    from dffx.utils.profiling import enable_persistent_cache
+
+    enable_persistent_cache()  # crash-resume skips the multi-minute recompile
+
     recipe = RECIPES[args.recipe]
     max_epoch = args.max_epoch if args.max_epoch is not None else recipe.max_epoch
     root = args.saveroot

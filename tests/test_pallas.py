@@ -146,13 +146,22 @@ def test_full_res_kernels_at_eval_shapes(interpret_pallas, rng, h, w):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("c,h,w", [(16, 192, 288), (32, 96, 144), (32, 128, 240)])
-def test_rb2d_downstream_channel_shapes(interpret_pallas, rng, c, h, w):
+@pytest.mark.parametrize("c,h,w,n", [(16, 192, 288, 2), (32, 96, 144, 2),
+                                     (32, 128, 240, 2), (16, 64, 480, 15)])
+def test_rb2d_downstream_channel_shapes(interpret_pallas, rng, c, h, w, n):
     """Half/quarter-resolution SRD stages (16/32 channels) at DDFF/HCI-derived
-    widths — exercises the per-channel-count W-split caps."""
-    from dffx.ops.pallas_kernels import rb2d_residual
+    widths — exercises the per-channel-count W-split caps.  The (16, *, 480,
+    N=15) case is the Middlebury half-res attention config whose N*C=240
+    channel block first blew the VMEM budget on-device."""
+    from dffx.ops.pallas_kernels import rb2d_residual, srd_attention_residual
 
-    x = jnp.asarray(rng.uniform(-1, 1, (1, 2, h, w, c)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-1, 1, (1, n, h, w, c)).astype(np.float32))
+    wn = jnp.asarray((rng.standard_normal((3, 1, 1, c, c)) * 0.1).astype(np.float32))
+    wx = jnp.asarray((rng.standard_normal((1, 1, 1, c, c)) * 0.1).astype(np.float32))
+    gota = srd_attention_residual(x, wn, wx)
+    at = jnp.maximum(conv3d(x, wn, padding=(1, 0, 0)), 0)
+    refa = x + jnp.maximum(conv3d(at, wx), 0)
+    np.testing.assert_allclose(np.asarray(gota), np.asarray(refa), atol=1e-5)
     w1 = jnp.asarray((rng.standard_normal((1, 3, 3, c, c)) * 0.1).astype(np.float32))
     w2 = jnp.asarray((rng.standard_normal((1, 3, 3, c, c)) * 0.1).astype(np.float32))
     aff = (jnp.ones(c), jnp.zeros(c))

@@ -1,0 +1,58 @@
+"""Per-eval-shape batch-1 latency: fused-Pallas path vs XLA path, on chip.
+
+The fused path is the batch-1/latency serving path; this tool checks it wins
+at every dataset's real resolution (VERDICT round-1: the envelope silently
+excluded most of them).  Prints one JSON line per shape.
+
+    python tools/bench_shapes.py
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dffx.models import Ctx, dffnet_apply, init_params, network_specs
+from dffx.utils.profiling import device_loop_time, enable_persistent_cache
+
+# (name, N, H, W) per SURVEY.md §6 eval workloads (padded shapes)
+WORKLOADS = [
+    ("DefocusNet", 5, 256, 256),
+    ("Smartphone", 10, 352, 256),
+    ("DDFF", 10, 384, 576),
+    ("4D_Light_Field", 10, 512, 512),
+    ("Middlebury", 15, 544, 960),
+    ("bench", 10, 384, 384),
+]
+
+
+def main():
+    enable_persistent_cache()
+    params = init_params(network_specs(), seed=0)
+    rng = np.random.default_rng(0)
+    for name, n, h, w in WORKLOADS:
+        fs = jnp.asarray(rng.uniform(-1, 1, (1, n, h, w, 3)).astype(np.float32))
+        fd = jnp.asarray(np.linspace(0.2, 7.0, n, dtype=np.float32)[None])
+        row = {"workload": name, "shape": f"{n}x{h}x{w}"}
+        for key, pallas in [("xla_ms", False), ("pallas_ms", True)]:
+            ctx = Ctx(compute_dtype=jnp.bfloat16, use_pallas=pallas)
+
+            def fwd(x, p, d):
+                return dffnet_apply(p, x.astype(jnp.bfloat16), d, ctx)
+
+            try:
+                per = device_loop_time(fwd, fs, params, fd, iters=10)
+                row[key] = round(per * 1e3, 2)
+            except Exception as e:
+                row[key] = f"FAILED {type(e).__name__}"
+        if isinstance(row.get("xla_ms"), float) and isinstance(row.get("pallas_ms"), float):
+            row["speedup"] = round(row["xla_ms"] / row["pallas_ms"], 3)
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

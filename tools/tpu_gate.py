@@ -20,8 +20,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# (H, W) per dataset eval workload (SURVEY.md §6) + the bench shape
-SHAPES = [(256, 256), (352, 256), (384, 576), (512, 512), (544, 960), (384, 384)]
+# (N, H, W) per dataset eval workload (SURVEY.md §6) + the bench shape —
+# N matters: the SRD attention packs N*C channels into one block, and the
+# Middlebury N=15 config is what first blew the VMEM budget
+SHAPES = [(5, 256, 256), (10, 352, 256), (10, 384, 576), (10, 512, 512),
+          (15, 544, 960), (10, 384, 384)]
 
 
 def _check(name, got, ref, tol, failures):
@@ -58,8 +61,8 @@ def main() -> int:
     failures: list[str] = []
     n_checks = 0
 
-    for h, w in SHAPES:
-        x3 = jnp.asarray(rng.uniform(-1, 1, (1, 2, h, w, 3)), dt)
+    for n, h, w in SHAPES:
+        x3 = jnp.asarray(rng.uniform(-1, 1, (1, n, h, w, 3)), dt)
         wk = jnp.asarray(rng.standard_normal((1, 9, 9, 3, 8)) * 0.1, dt)
         g, b = jnp.ones(8), jnp.zeros(8)
         mu = jnp.asarray(rng.standard_normal(8) * 0.1, jnp.float32)
@@ -80,7 +83,7 @@ def main() -> int:
         for c, hh, ww in [(8, h, w), (16, h // 2, w // 2), (32, h // 4, w // 4)]:
             if hh % 16 or ww < 32:
                 continue
-            x = jnp.asarray(rng.uniform(-1, 1, (1, 2, hh, ww, c)), dt)
+            x = jnp.asarray(rng.uniform(-1, 1, (1, n, hh, ww, c)), dt)
             w1 = jnp.asarray(rng.standard_normal((1, 3, 3, c, c)) * 0.1, dt)
             w2 = jnp.asarray(rng.standard_normal((1, 3, 3, c, c)) * 0.1, dt)
             aff = (jnp.ones(c), jnp.zeros(c))
