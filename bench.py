@@ -54,7 +54,10 @@ def bench_dffx() -> dict:
         for i, (bsz, use_pallas) in enumerate(attempts):
             fs = jnp.asarray(rng.uniform(-1, 1, (bsz, N, H, W, 3)).astype(np.float32))
             fd = jnp.asarray(np.tile(np.linspace(0.2, 7.0, N, dtype=np.float32), (bsz, 1)))
-            ctx = Ctx(compute_dtype=jnp.bfloat16, use_pallas=use_pallas)
+            # the packed (s2d) tail wins at latency batch sizes, loses ~4% at
+            # batch 64 — tie it to the Pallas/latency config
+            ctx = Ctx(compute_dtype=jnp.bfloat16, use_pallas=use_pallas,
+                      use_packed=use_pallas)
 
             def fwd(x, p, d):
                 # all four heads: the reference forward computes mid/p1/p2/p3,

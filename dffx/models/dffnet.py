@@ -201,8 +201,18 @@ def dffnet_apply(
     _, _, height, width, _ = fs.shape
 
     fm = fm_module_apply(p, q("FM_measure"), fs, ctx)  # 8ch @ 1/1
-    half = srd_apply(p, q("FM_conv1.1"), efd_apply(p, q("FM_conv1.0"), fm, ctx), ctx)
-    quad = srd_apply(p, q("FM_conv2.1"), efd_apply(p, q("FM_conv2.0"), half, ctx), ctx)
+    if ctx.use_packed and not ctx.train:
+        # packed (s2d) downsampling: the strided conv reads the half-res
+        # lattice at 4x channels; the maxpool is an exact phase max
+        from dffx.models.packed import pack, packed_efd_apply
+
+        e1 = packed_efd_apply(p, q("FM_conv1.0"), pack(fm), ctx)
+        half = srd_apply(p, q("FM_conv1.1"), e1, ctx)
+        e2 = packed_efd_apply(p, q("FM_conv2.0"), pack(half), ctx)
+        quad = srd_apply(p, q("FM_conv2.1"), e2, ctx)
+    else:
+        half = srd_apply(p, q("FM_conv1.1"), efd_apply(p, q("FM_conv1.0"), fm, ctx), ctx)
+        quad = srd_apply(p, q("FM_conv2.1"), efd_apply(p, q("FM_conv2.0"), half, ctx), ctx)
 
     vol = hourglassup_apply(p, q("SPP_module"), quad, ctx)  # 32ch @ 1/8
 
@@ -226,12 +236,19 @@ def dffnet_apply(
     out_in = out2 + out
     cost2 = apply_conv(p, q("classif2.0"), out_in, ctx)[..., 0]
 
-    out2 = apply_deconvbn(p, q("deconv_3"), out_in, ctx)  # 8ch @ 1/1
-    out, _ = hourglass_apply(
-        p, q("dres4"), jnp.concatenate([out2, fm], -1), pre, out, ctx
-    )
-    out = out2 + out
-    cost3 = apply_conv(p, q("classif3.0"), out, ctx)[..., 0]
+    if ctx.use_packed and not ctx.train:
+        # exact space-to-depth evaluation of the full-res tail: same math,
+        # 4x the channels at 1/4 the spatial positions (see models/packed.py)
+        from dffx.models.packed import packed_tail_apply
+
+        cost3 = packed_tail_apply(p, q, out_in, fm, pre, out, ctx)
+    else:
+        out2 = apply_deconvbn(p, q("deconv_3"), out_in, ctx)  # 8ch @ 1/1
+        out, _ = hourglass_apply(
+            p, q("dres4"), jnp.concatenate([out2, fm], -1), pre, out, ctx
+        )
+        out = out2 + out
+        cost3 = apply_conv(p, q("classif3.0"), out, ctx)[..., 0]
 
     pred1 = softplus_argmax(upsample_bilinear(cost1, (height, width)), focus_dists)  # D2
     pred2 = softplus_argmax(upsample_bilinear(cost2, (height, width)), focus_dists)  # D3

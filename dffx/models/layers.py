@@ -140,6 +140,7 @@ class Ctx:
     precision: Any = None  # lax precision for convolutions
     compute_dtype: Any = jnp.float32
     use_pallas: bool = False  # fused TPU kernels for the full-res hot stages (eval)
+    use_packed: bool = False  # exact space-to-depth eval of the full-res tail
 
 
 def relu(x: jax.Array) -> jax.Array:

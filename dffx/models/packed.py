@@ -1,0 +1,251 @@
+"""Exact space-to-depth ("packed") evaluation of the full-resolution tail.
+
+The final decoder stage — ``deconv_3`` + the full-res ``dres4`` hourglass +
+``classif3`` (reference `Depth_Estimation_Network.py:105-108,:265-284`) — runs
+3D convs with 8/16 channels at full resolution, which tile the MXU at a few
+percent and dominate batch-1 latency (~13 of 33 ms at 384²).  Here the same
+math is evaluated on the half-resolution lattice with 4x the channels:
+
+* a full-res tensor ``(B, N, H, W, C)`` is stored packed as
+  ``(B, N, H/2, W/2, 4C)`` with channel index ``phase * C + c`` where
+  ``phase = (y % 2) * 2 + (x % 2)``;
+* every conv/deconv weight is scattered into an equivalent kernel over the
+  packed lattice (derivations in each transform's docstring).  The transforms
+  are EXACT — packed evaluation is a reparameterization, not an approximation
+  — and are verified against the unpacked path by ``tests/test_packed.py``.
+
+Stride-1 3x3 convs expand to (3,2,2)->(3,3,3) packed kernels with 4x channels
+(the four output phases need a 3-cell union support, so the dense packed
+kernel carries structural zeros — 4x the FLOPs, but at 32-64 channels XLA's
+conv lowering is far more than 4x as efficient as at 8-16).  Strided convs and
+deconvs map with no expansion (2-cell support).
+
+Eval-mode only: BatchNorm is applied as the folded affine, tiled per phase.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dffx.ops.pallas_kernels import bn_fused_affine
+
+_DIMS = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def pack(x: jax.Array) -> jax.Array:
+    """(B, N, H, W, C) -> (B, N, H/2, W/2, 4C), channel = phase * C + c."""
+    b, n, h, w, c = x.shape
+    x = x.reshape(b, n, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, n, h // 2, w // 2, 4 * c)
+
+
+def unpack(x: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack`."""
+    b, n, hh, wh, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, n, hh, wh, 2, 2, c)
+    return x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, n, 2 * hh, 2 * wh, c)
+
+
+def pack_affine(scale: jax.Array, shift: jax.Array):
+    """Per-channel affine -> packed channels (same values in each phase)."""
+    return jnp.tile(scale, 4), jnp.tile(shift, 4)
+
+
+def _in_index(in_groups):
+    """Packed input channel index for original channel ``ci`` at phase ``p``.
+
+    ``in_groups=[c0, c1, ...]``: the packed input is a channel-concat of
+    independently packed tensors of those widths (packed concat != packed of
+    concat, so the weight scatter absorbs the permutation).
+    """
+
+    def idx(p, ci):
+        off = 0
+        for g in in_groups:
+            if ci < g:
+                return off + p * g + ci
+            ci -= g
+            off += 4 * g
+        raise IndexError(ci)
+
+    return idx
+
+
+def pack_conv_s1(w: jax.Array, in_groups=None) -> jax.Array:
+    """Stride-1 ``(kd,3,3)`` conv (pad 1) -> packed ``(kd,3,3, 4Ci, 4Co)``.
+
+    out[2Y+qy] = sum_dy w[dy] x[2Y+qy+dy-1]; the input lands at packed cell
+    Y + DY, phase py with DY = floor((qy+dy-1)/2), py = (qy+dy-1) mod 2, so
+    kernel tap (DY+1) carries w[dy] for that (phase_in, phase_out) block.
+    Apply with padding (pd, 1, 1) on the packed lattice.
+    """
+    kd, kh, kw, ci, co = w.shape
+    assert (kh, kw) == (3, 3), (kh, kw)
+    groups = in_groups or [ci]
+    assert sum(groups) == ci
+    idx = _in_index(groups)
+    wp = jnp.zeros((kd, 3, 3, 4 * ci, 4 * co), w.dtype)
+    for qy in (0, 1):
+        for qx in (0, 1):
+            q = qy * 2 + qx
+            for dy in range(3):
+                for dx in range(3):
+                    py, dy_c = (qy + dy - 1) % 2, (qy + dy - 1) // 2
+                    px, dx_c = (qx + dx - 1) % 2, (qx + dx - 1) // 2
+                    p_in = py * 2 + px
+                    for c0 in range(ci):
+                        wp = wp.at[:, dy_c + 1, dx_c + 1, idx(p_in, c0),
+                                   q * co : (q + 1) * co].add(w[:, dy, dx, c0])
+    return wp
+
+
+def pack_conv_s2(w: jax.Array) -> jax.Array:
+    """Strided ``(kd,3,3) s(1,2,2)`` conv (pad 1) -> packed ``(kd,2,2,4Ci,Co)``
+    producing the half-res (unpacked) output directly.
+
+    out[Y] = sum_dy w[dy] x[2Y+dy-1]: cells {Y-1, Y} -> kernel 2, pad-left 1
+    on the packed lattice (apply with padding ((pd,pd),(1,0),(1,0))).
+    """
+    kd, kh, kw, ci, co = w.shape
+    assert (kh, kw) == (3, 3)
+    wp = jnp.zeros((kd, 2, 2, 4 * ci, co), w.dtype)
+    for dy in range(3):
+        for dx in range(3):
+            py, dy_c = (dy - 1) % 2, (dy - 1) // 2
+            px, dx_c = (dx - 1) % 2, (dx - 1) // 2
+            p_in = py * 2 + px
+            wp = wp.at[:, dy_c + 1, dx_c + 1,
+                       p_in * ci : (p_in + 1) * ci, :].add(w[:, dy, dx])
+    return wp
+
+
+def pack_deconv(w: jax.Array) -> jax.Array:
+    """``ConvTranspose3d(k3, s(1,2,2), p1, op(0,1,1))`` -> packed
+    ``(kd,2,2, Ci, 4Co)`` consuming the half-res input, emitting packed
+    full-res.
+
+    Per spatial dim: out[2Y] = w[1] x[Y]; out[2Y+1] = w[2] x[Y] + w[0] x[Y+1]
+    -> cells {Y, Y+1}, kernel 2, pad-right 1 (apply with padding
+    ((1,1),(0,1),(0,1)) since the focus axis is the usual flipped-kernel
+    stride-1 transposed conv).
+    """
+    kd, kh, kw, ci, co = w.shape
+    assert (kh, kw) == (3, 3)
+    wf = jnp.flip(w, axis=0)  # focus-axis correlation flip
+    taps = {(0, 0): 1, (1, 0): 2, (1, 1): 0}  # (phase, window tap) -> w index
+    wp = jnp.zeros((kd, 2, 2, ci, 4 * co), w.dtype)
+    for qy in (0, 1):
+        for qx in (0, 1):
+            q = qy * 2 + qx
+            for ty in (0, 1):
+                for tx in (0, 1):
+                    iy = taps.get((qy, ty))
+                    ix = taps.get((qx, tx))
+                    if iy is None or ix is None:
+                        continue
+                    wp = wp.at[:, ty, tx, :, q * co : (q + 1) * co].set(wf[:, iy, ix])
+    return wp
+
+
+def pack_conv_1x1(w: jax.Array) -> jax.Array:
+    """1x1x1 conv -> packed block-diagonal ``(1,1,1, 4Ci, 4Co)``."""
+    kd, kh, kw, ci, co = w.shape
+    assert (kd, kh, kw) == (1, 1, 1)
+    wp = jnp.zeros((1, 1, 1, 4 * ci, 4 * co), w.dtype)
+    for p in range(4):
+        wp = wp.at[0, 0, 0, p * ci : (p + 1) * ci, p * co : (p + 1) * co].set(w[0, 0, 0])
+    return wp
+
+
+def _conv(x, w, pad, precision=None):
+    return lax.conv_general_dilated(
+        jnp.pad(x, ((0, 0), *pad, (0, 0))), w, (1, 1, 1), "VALID",
+        dimension_numbers=_DIMS, precision=precision,
+    )
+
+
+def _bn_packed(p, pfx, x, dtype):
+    scale, shift = bn_fused_affine(
+        p[f"{pfx}.weight"], p[f"{pfx}.bias"],
+        p[f"{pfx}.running_mean"], p[f"{pfx}.running_var"],
+    )
+    s, b = pack_affine(scale, shift)
+    return x * s.astype(dtype) + b.astype(dtype)
+
+
+def packed_efd_apply(p, pfx, xp, ctx):
+    """EFD (`Depth_Estimation_Network.py:306-315`) consuming a PACKED input.
+
+    * strided-conv branch: the packed stride-2 kernel emits the half-res
+      (natural) output directly;
+    * maxpool branch: ``MaxPool3d(1,2,2)`` windows are exactly the aligned
+      2x2 phase blocks, so the pool is a max over the 4 phase channel groups.
+    """
+    from dffx.models.layers import apply_bn, apply_convbn, relu
+
+    dt = xp.dtype
+    w = p[f"{pfx}.stride_conv.0.weight"].astype(dt)
+    a = _conv(xp, pack_conv_s2(w), [(1, 1), (1, 0), (1, 0)], ctx.precision)
+    a = apply_bn(p, f"{pfx}.stride_conv.1", a, ctx)
+    b, n, hh, wh, c4 = xp.shape
+    mp = jnp.max(xp.reshape(b, n, hh, wh, 4, c4 // 4), axis=4)
+    bb = apply_convbn(p, f"{pfx}.max_pooling.1", mp, ctx, padding=1)
+    return relu(a + bb)
+
+
+def packed_tail_apply(p, q, out_in, fm, presqu, postsqu, ctx):
+    """The dffnet tail — ``deconv_3`` + ``dres4`` hourglass + ``classif3`` —
+    evaluated on the packed lattice.  Returns full-res ``cost3 (B,N,H,W)``.
+
+    Mirrors `Depth_Estimation_Network.py:105-108` + `:265-284` exactly; the
+    mid-resolution hourglass interior (conv2..conv5) stays on the ordinary
+    path since it already runs at 1/2 res and below.
+    """
+    from dffx.models.layers import apply_convbn, apply_deconvbn, relu
+
+    dt = out_in.dtype
+    prec = ctx.precision
+
+    def w_(name):
+        return p[q(name)].astype(dt)
+
+    # deconv_3 + BN -> packed 4*8 at half res
+    x = _conv(out_in, pack_deconv(w_("deconv_3.0.weight")),
+              [(1, 1), (0, 1), (0, 1)], prec)
+    x = _bn_packed(p, q("deconv_3.1"), x, dt)
+
+    cat = jnp.concatenate([x, pack(fm)], axis=-1)  # source-major packed 64
+
+    # hourglass(8) — conv0 at "full res" (packed), conv1 strided into the
+    # ordinary half-res interior, conv6 back out as packed full-res
+    h0 = _conv(cat, pack_conv_s1(w_("dres4.conv0.0.0.weight"), in_groups=[8, 8]),
+               [(1, 1), (1, 1), (1, 1)], prec)
+    pre_1 = relu(_bn_packed(p, q("dres4.conv0.0.1"), h0, dt))
+
+    out = _conv(pre_1, pack_conv_s2(w_("dres4.conv1.0.0.weight")),
+                [(1, 1), (1, 0), (1, 0)], prec)
+    from dffx.ops import batch_norm
+
+    out = relu(batch_norm(out, p[q("dres4.conv1.0.1.running_mean")],
+                          p[q("dres4.conv1.0.1.running_var")],
+                          p[q("dres4.conv1.0.1.weight")],
+                          p[q("dres4.conv1.0.1.bias")]))
+    pre = apply_convbn(p, q("dres4.conv2"), out, ctx, padding=1)
+    pre = relu(pre + postsqu) if postsqu is not None else relu(pre)
+    out = relu(apply_convbn(p, q("dres4.conv3.0"), pre, ctx, stride=(1, 2, 2), padding=1))
+    out = relu(apply_convbn(p, q("dres4.conv4.0"), out, ctx, padding=1))
+    up = apply_deconvbn(p, q("dres4.conv5"), out, ctx)
+    out = relu(up + (presqu if presqu is not None else pre))
+
+    o6 = _conv(out, pack_deconv(w_("dres4.conv6.0.weight")),
+               [(1, 1), (0, 1), (0, 1)], prec)
+    o6 = _bn_packed(p, q("dres4.conv6.1"), o6, dt)
+
+    final = x + o6  # out2 + hourglass output, packed
+    # classif3 is bias-free (`Depth_Estimation_Network.py:55`)
+    cost3 = _conv(final, pack_conv_1x1(w_("classif3.0.weight")),
+                  [(0, 0), (0, 0), (0, 0)], prec)
+    return unpack(cost3)[..., 0]
