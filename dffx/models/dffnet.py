@@ -223,6 +223,7 @@ def dffnet_apply(
 
     x = relu(apply_convbn(p, q("dres0.0"), vol, ctx, padding=1))
     x = relu(apply_convbn(p, q("dres0.2"), x, ctx, padding=1))
+
     x = apply_deconvbn(p, q("deconv_1"), x, ctx)  # 32ch @ 1/4
 
     out, pre = hourglass_apply(p, q("dres2"), jnp.concatenate([x, quad], -1), None, None, ctx)
@@ -237,11 +238,16 @@ def dffnet_apply(
     cost2 = apply_conv(p, q("classif2.0"), out_in, ctx)[..., 0]
 
     if ctx.use_packed and not ctx.train:
-        # exact space-to-depth evaluation of the full-res tail: same math,
-        # 4x the channels at 1/4 the spatial positions (see models/packed.py)
-        from dffx.models.packed import packed_tail_apply
+        # exact space-to-depth evaluation of the FULL-RES stage only: the
+        # up-deconv, hourglass ends, and classif head run with 4x the channels
+        # at 1/4 the spatial positions (see models/packed.py).  Measured: the
+        # 1/4- and 1/2-res stages LOSE from packing (their channel counts are
+        # already MXU-adequate and the pack/unpack shuffles dominate).
+        from dffx.models.packed import packed_stage_apply
 
-        cost3 = packed_tail_apply(p, q, out_in, fm, pre, out, ctx)
+        cost3 = packed_stage_apply(
+            p, q, ("deconv_3", "dres4", "classif3.0"), out_in, fm, pre, out,
+            ctx)
     else:
         out2 = apply_deconvbn(p, q("deconv_3"), out_in, ctx)  # 8ch @ 1/1
         out, _ = hourglass_apply(

@@ -196,56 +196,65 @@ def packed_efd_apply(p, pfx, xp, ctx):
     return relu(a + bb)
 
 
-def packed_tail_apply(p, q, out_in, fm, presqu, postsqu, ctx):
-    """The dffnet tail — ``deconv_3`` + ``dres4`` hourglass + ``classif3`` —
-    evaluated on the packed lattice.  Returns full-res ``cost3 (B,N,H,W)``.
+def packed_stage_apply(p, q, names, out_in, skip, presqu, postsqu, ctx,
+                       *, return_state=False):
+    """One decoder stage — ``deconv_k`` + ``hourglass dres_{k+1}`` +
+    ``classif_k`` — evaluated on the packed lattice of the stage's (2x-up)
+    resolution.  The three stages of the reference decoder
+    (`Depth_Estimation_Network.py:92-108`) share this exact structure.
 
-    Mirrors `Depth_Estimation_Network.py:105-108` + `:265-284` exactly; the
-    mid-resolution hourglass interior (conv2..conv5) stays on the ordinary
-    path since it already runs at 1/2 res and below.
+    ``names = (deconv, hourglass, classif)`` parameter prefixes (un-q'd).
+    Packed pieces: the up-deconv, the hourglass's conv0 (stage res) / conv1
+    (strided back down, emitting the natural interior resolution) / conv6
+    (deconv back up), the residual add, and the 1x1 classif head.  The
+    hourglass interior (conv2..conv5) already runs at half the stage
+    resolution and below and stays on the ordinary path; the cross-hourglass
+    skip state (presqu/postsqu, `Depth_Estimation_Network.py:269-280`) is
+    exchanged in natural layout.
+
+    Returns ``cost`` (natural, stage res), plus ``(out_in, pre_1, hg_out)``
+    in natural layout for the next stage when ``return_state``.
     """
-    from dffx.models.layers import apply_convbn, apply_deconvbn, relu
+    from dffx.models.layers import apply_bn, apply_convbn, apply_deconvbn, relu
 
+    deconv, hg, classif = names
+    c = skip.shape[-1]
     dt = out_in.dtype
     prec = ctx.precision
 
     def w_(name):
         return p[q(name)].astype(dt)
 
-    # deconv_3 + BN -> packed 4*8 at half res
-    x = _conv(out_in, pack_deconv(w_("deconv_3.0.weight")),
+    # deconv_k + BN -> packed 4C at the stage's half lattice
+    x = _conv(out_in, pack_deconv(w_(f"{deconv}.0.weight")),
               [(1, 1), (0, 1), (0, 1)], prec)
-    x = _bn_packed(p, q("deconv_3.1"), x, dt)
+    x = _bn_packed(p, q(f"{deconv}.1"), x, dt)
 
-    cat = jnp.concatenate([x, pack(fm)], axis=-1)  # source-major packed 64
+    cat = jnp.concatenate([x, pack(skip)], axis=-1)  # source-major packed 2C
 
-    # hourglass(8) — conv0 at "full res" (packed), conv1 strided into the
-    # ordinary half-res interior, conv6 back out as packed full-res
-    h0 = _conv(cat, pack_conv_s1(w_("dres4.conv0.0.0.weight"), in_groups=[8, 8]),
+    h0 = _conv(cat, pack_conv_s1(w_(f"{hg}.conv0.0.0.weight"), in_groups=[c, c]),
                [(1, 1), (1, 1), (1, 1)], prec)
-    pre_1 = relu(_bn_packed(p, q("dres4.conv0.0.1"), h0, dt))
+    pre_1 = relu(_bn_packed(p, q(f"{hg}.conv0.0.1"), h0, dt))
 
-    out = _conv(pre_1, pack_conv_s2(w_("dres4.conv1.0.0.weight")),
+    out = _conv(pre_1, pack_conv_s2(w_(f"{hg}.conv1.0.0.weight")),
                 [(1, 1), (1, 0), (1, 0)], prec)
-    from dffx.ops import batch_norm
-
-    out = relu(batch_norm(out, p[q("dres4.conv1.0.1.running_mean")],
-                          p[q("dres4.conv1.0.1.running_var")],
-                          p[q("dres4.conv1.0.1.weight")],
-                          p[q("dres4.conv1.0.1.bias")]))
-    pre = apply_convbn(p, q("dres4.conv2"), out, ctx, padding=1)
+    out = relu(apply_bn(p, q(f"{hg}.conv1.0.1"), out, ctx))
+    pre = apply_convbn(p, q(f"{hg}.conv2"), out, ctx, padding=1)
     pre = relu(pre + postsqu) if postsqu is not None else relu(pre)
-    out = relu(apply_convbn(p, q("dres4.conv3.0"), pre, ctx, stride=(1, 2, 2), padding=1))
-    out = relu(apply_convbn(p, q("dres4.conv4.0"), out, ctx, padding=1))
-    up = apply_deconvbn(p, q("dres4.conv5"), out, ctx)
+    out = relu(apply_convbn(p, q(f"{hg}.conv3.0"), pre, ctx, stride=(1, 2, 2), padding=1))
+    out = relu(apply_convbn(p, q(f"{hg}.conv4.0"), out, ctx, padding=1))
+    up = apply_deconvbn(p, q(f"{hg}.conv5"), out, ctx)
     out = relu(up + (presqu if presqu is not None else pre))
 
-    o6 = _conv(out, pack_deconv(w_("dres4.conv6.0.weight")),
+    o6 = _conv(out, pack_deconv(w_(f"{hg}.conv6.0.weight")),
                [(1, 1), (0, 1), (0, 1)], prec)
-    o6 = _bn_packed(p, q("dres4.conv6.1"), o6, dt)
+    o6 = _bn_packed(p, q(f"{hg}.conv6.1"), o6, dt)
 
     final = x + o6  # out2 + hourglass output, packed
-    # classif3 is bias-free (`Depth_Estimation_Network.py:55`)
-    cost3 = _conv(final, pack_conv_1x1(w_("classif3.0.weight")),
-                  [(0, 0), (0, 0), (0, 0)], prec)
-    return unpack(cost3)[..., 0]
+    # classif heads are bias-free (`Depth_Estimation_Network.py:51-55`)
+    cost = _conv(final, pack_conv_1x1(w_(f"{classif}.weight")),
+                 [(0, 0), (0, 0), (0, 0)], prec)
+    cost = unpack(cost)[..., 0]
+    if return_state:
+        return cost, unpack(final), unpack(pre_1), unpack(o6)
+    return cost

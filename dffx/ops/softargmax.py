@@ -7,8 +7,7 @@ Matches the reference's four depth heads
 
 The reference tiles ``focus_dists`` to ``(N, H, W)`` per sample; here it is a
 ``(B, N)`` vector broadcast.  The whole head is elementwise + a length-N
-reduction, which XLA fuses into a single VPU pass; a Pallas variant exists in
-``dffx.ops.pallas_kernels`` for the full-resolution head.
+reduction, which XLA fuses into a single VPU pass.
 """
 
 from __future__ import annotations

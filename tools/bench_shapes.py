@@ -38,8 +38,11 @@ def main():
         fs = jnp.asarray(rng.uniform(-1, 1, (1, n, h, w, 3)).astype(np.float32))
         fd = jnp.asarray(np.linspace(0.2, 7.0, n, dtype=np.float32)[None])
         row = {"workload": name, "shape": f"{n}x{h}x{w}"}
-        for key, pallas in [("xla_ms", False), ("pallas_ms", True)]:
-            ctx = Ctx(compute_dtype=jnp.bfloat16, use_pallas=pallas)
+        for key, pallas, packed in [("xla_ms", False, False),
+                                    ("pallas_ms", True, False),
+                                    ("pallas_packed_ms", True, True)]:
+            ctx = Ctx(compute_dtype=jnp.bfloat16, use_pallas=pallas,
+                      use_packed=packed)
 
             def fwd(x, p, d):
                 return dffnet_apply(p, x.astype(jnp.bfloat16), d, ctx)
@@ -49,8 +52,9 @@ def main():
                 row[key] = round(per * 1e3, 2)
             except Exception as e:
                 row[key] = f"FAILED {type(e).__name__}"
-        if isinstance(row.get("xla_ms"), float) and isinstance(row.get("pallas_ms"), float):
-            row["speedup"] = round(row["xla_ms"] / row["pallas_ms"], 3)
+        best = row.get("pallas_packed_ms", row.get("pallas_ms"))
+        if isinstance(row.get("xla_ms"), float) and isinstance(best, float):
+            row["speedup"] = round(row["xla_ms"] / best, 3)
         print(json.dumps(row), flush=True)
 
 
