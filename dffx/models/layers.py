@@ -231,10 +231,16 @@ def _pallas_shape_ok(h: int, w: int) -> bool:
 
 
 def _srd_pallas_ok(ctx: Ctx, x) -> bool:
+    # Policy (measured in-context, round 2): fuse only the FULL-RES stage
+    # (C=8).  The kernels support C<=32 and beat XLA in isolation at half/
+    # quarter res too, but inside the whole graph the layout transposes cost
+    # more than they save there (e.g. 384^2: 26.6 ms full-res-only vs 29.7
+    # all-res; Middlebury 141 vs 151) — XLA fuses the mid-res SRDs with their
+    # surrounding ops.  tools/tpu_gate.py still verifies the wider capability.
     return (
         ctx.use_pallas
         and not ctx.train
-        and x.shape[-1] <= 32
+        and x.shape[-1] <= 8
         and _pallas_shape_ok(x.shape[2], x.shape[3])
     )
 

@@ -1,0 +1,63 @@
+"""Training-step throughput on the current backend.
+
+Times the full jitted train step (fwd + bwd + Adam + BN stat updates) at the
+DDFF recipe's crop (224x224, N=10) across batch sizes and compute dtypes.
+
+    python tools/bench_train.py
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dffx.models import init_params, network_specs
+from dffx.train import LossConfig, create_train_state, make_train_step
+from dffx.utils.profiling import enable_persistent_cache
+
+
+def main():
+    enable_persistent_cache()
+    rng = np.random.default_rng(0)
+    n, h, w = 10, 224, 224
+    params = init_params(network_specs(), seed=0)
+
+    for batch, dtype, remat in [(4, jnp.float32, False), (4, jnp.bfloat16, False),
+                                (32, jnp.bfloat16, False), (32, jnp.bfloat16, True)]:
+        bdata = {
+            "fs": jnp.asarray(rng.uniform(-1, 1, (batch, n, h, w, 3)).astype(np.float32)),
+            "depth": jnp.asarray(rng.uniform(0, 1, (batch, h, w)).astype(np.float32)),
+            "focus_dists": jnp.asarray(
+                np.tile(np.linspace(0, 1, n, dtype=np.float32), (batch, 1))),
+            "mask": jnp.ones((batch, h, w), bool),
+        }
+        step = make_train_step(1e-4, LossConfig(), compute_dtype=dtype,
+                               donate=False, remat=remat)
+        state = create_train_state(params, lr=1e-4)
+        row = {"batch": batch, "dtype": str(jnp.dtype(dtype).name), "remat": remat}
+        try:
+            import time
+
+            state, logs = step(state, bdata)  # compile
+            float(logs["loss"])
+            t0 = time.perf_counter()
+            iters = 8
+            for _ in range(iters):
+                state, logs = step(state, bdata)
+            # a VALUE fetch is the only honest sync through the TPU tunnel —
+            # block_until_ready returns on the enqueue ack there
+            float(logs["loss"])
+            per = (time.perf_counter() - t0) / iters
+            row["ms_per_step"] = round(per * 1e3, 1)
+            row["stacks_per_sec"] = round(batch / per, 2)
+        except Exception as e:
+            row["error"] = f"{type(e).__name__}: {str(e)[:150]}"
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()
