@@ -40,19 +40,24 @@ def bench_dffx() -> dict:
     results = {"platform": jax.devices()[0].platform}
     best = 0.0
     # three operating points: batch 1 (request latency; the Pallas fused path
-    # wins there), batch 4 (the reference's train batch), and batch 64 (the
-    # measured serving-throughput sweet spot on v5e — XLA's conv lowerings hit
-    # ~25 TFLOP/s with batch*N=640, vs ~6 at batch 4).  The remote Mosaic
-    # compile service can fail under load, so a Pallas config falls back to
-    # the (always-compilable) XLA path; the big batch falls back to a smaller
-    # one if HBM is tighter than on the measured chip.
-    for batch, iters, pallas in [(1, 20, on_tpu), (4, 8, False), (64, 3, False)]:
+    # + packed tail win there), batch 4 (the reference's train batch), and
+    # batch 128 (serving throughput — XLA's conv lowerings keep scaling with
+    # batch on v5e, ~47 TFLOP/s at batch*N=1280 vs ~6 at batch 4;
+    # wall-clock-verified, tools/bench_formulations.py history).  The remote
+    # Mosaic compile service can fail under load, so a Pallas config falls
+    # back to the (always-compilable) XLA path; the big batch falls back to
+    # smaller ones if HBM is tighter than on the measured chip.
+    for batch, iters, pallas in [(1, 20, on_tpu), (4, 8, False), (128, 3, False)]:
         attempts = [(batch, pallas), (batch, False)] if pallas else [(batch, False)]
         if batch > 4:
-            attempts += [(32, False)]
+            attempts += [(64, False), (32, False)]
         per, used_batch = None, batch
         for i, (bsz, use_pallas) in enumerate(attempts):
-            fs = jnp.asarray(rng.uniform(-1, 1, (bsz, N, H, W, 3)).astype(np.float32))
+            # big batches are built in bf16 directly — a fp32 staging copy of
+            # (128,10,384,384,3) alone would blow past HBM
+            fs = jnp.asarray(
+                rng.uniform(-1, 1, (bsz, N, H, W, 3)).astype(np.float16)
+            ).astype(jnp.bfloat16)
             fd = jnp.asarray(np.tile(np.linspace(0.2, 7.0, N, dtype=np.float32), (bsz, 1)))
             # the packed (s2d) tail wins at latency batch sizes, loses ~4% at
             # batch 64 — tie it to the Pallas/latency config
@@ -173,7 +178,7 @@ def main():
                 "vs_baseline": round(vs, 2) if vs is not None else None,
                 "b1_stacks_per_sec": ours.get("b1_stacks_per_sec"),
                 "b4_stacks_per_sec": ours.get("b4_stacks_per_sec"),
-                "b64_stacks_per_sec": ours.get("b64_stacks_per_sec"),
+                "b128_stacks_per_sec": ours.get("b128_stacks_per_sec"),
                 "torch_cpu_stacks_per_sec": round(base, 4) if base == base else None,
                 "simulator_scenes_per_sec": sim_sps,
                 "pallas_gate": gate.get("pallas_gate"),
