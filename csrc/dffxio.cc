@@ -122,6 +122,138 @@ void dffxio_hwcn_to_nhwc_normalize(const double* src, float* dst, int64_t h,
   for (auto& th : pool) th.join();
 }
 
-int dffxio_version() { return 1; }
+// ---------------------------------------------------------------------------
+// Image decode (JPEG via libjpeg, PNG via libpng) — the cv2-free IO path
+// (ROADMAP item: drop the OpenCV dependency from the loaders).  Output is
+// 8-bit BGR interleaved, matching cv2.imread's channel order so the loaders
+// keep byte parity with the reference.  Two-phase API: *_info reads the
+// header, *_decode fills a caller-allocated (h * w * 3) buffer.
+// Returns 0 on success, negative on error.
+// ---------------------------------------------------------------------------
+
+}  // extern "C"
+
+#include <csetjmp>
+#include <jpeglib.h>
+#include <png.h>
+
+namespace {
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jb, 1);
+}
+
+}  // namespace
+
+extern "C" {
+
+int dffxio_jpeg_info(const uint8_t* buf, int64_t len, int64_t* h, int64_t* w) {
+  jpeg_decompress_struct cinfo;
+  JpegErr err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(err.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  *h = cinfo.image_height;
+  *w = cinfo.image_width;
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// dst: (h, w, 3) uint8 BGR.
+int dffxio_jpeg_decode(const uint8_t* buf, int64_t len, uint8_t* dst,
+                       int64_t h, int64_t w) {
+  jpeg_decompress_struct cinfo;
+  JpegErr err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(err.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+#ifdef JCS_EXTENSIONS
+  cinfo.out_color_space = JCS_EXT_BGR;  // libjpeg-turbo: decode straight to BGR
+#else
+  cinfo.out_color_space = JCS_RGB;
+#endif
+  jpeg_start_decompress(&cinfo);
+  if (cinfo.output_height != static_cast<JDIMENSION>(h) ||
+      cinfo.output_width != static_cast<JDIMENSION>(w) ||
+      cinfo.output_components != 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return -3;
+  }
+  std::vector<uint8_t> rowbuf(static_cast<size_t>(w) * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = dst + static_cast<int64_t>(cinfo.output_scanline) * w * 3;
+#ifdef JCS_EXTENSIONS
+    JSAMPROW rows[1] = {row};
+    jpeg_read_scanlines(&cinfo, rows, 1);
+#else
+    JSAMPROW rows[1] = {rowbuf.data()};
+    jpeg_read_scanlines(&cinfo, rows, 1);
+    for (int64_t x = 0; x < w; ++x) {  // RGB -> BGR
+      row[x * 3 + 0] = rowbuf[x * 3 + 2];
+      row[x * 3 + 1] = rowbuf[x * 3 + 1];
+      row[x * 3 + 2] = rowbuf[x * 3 + 0];
+    }
+#endif
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+int dffxio_png_info(const uint8_t* buf, int64_t len, int64_t* h, int64_t* w) {
+  png_image img;
+  std::memset(&img, 0, sizeof img);
+  img.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&img, buf, static_cast<size_t>(len)))
+    return -1;
+  *h = img.height;
+  *w = img.width;
+  png_image_free(&img);
+  return 0;
+}
+
+// dst: (h, w, 3) uint8 BGR (libpng's simplified API converts directly).
+int dffxio_png_decode(const uint8_t* buf, int64_t len, uint8_t* dst,
+                      int64_t h, int64_t w) {
+  png_image img;
+  std::memset(&img, 0, sizeof img);
+  img.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&img, buf, static_cast<size_t>(len)))
+    return -1;
+  if (img.height != static_cast<png_uint_32>(h) ||
+      img.width != static_cast<png_uint_32>(w)) {
+    png_image_free(&img);
+    return -3;
+  }
+  img.format = PNG_FORMAT_BGR;
+  if (!png_image_finish_read(&img, nullptr, dst, 0, nullptr)) {
+    png_image_free(&img);
+    return -2;
+  }
+  return 0;
+}
+
+int dffxio_version() { return 2; }
 
 }  // extern "C"

@@ -25,6 +25,7 @@ import numpy as np
 
 from dffx.data import exr
 from dffx.data import augmentation as aug
+from dffx.data import native
 
 
 def _cv2():
@@ -309,7 +310,8 @@ class SmartphoneDataset:
         cv2 = _cv2()
         my, mx = self.MARGINS
         imgs = [
-            cv2.imread(p).astype(np.float32)[my:-my, mx:-mx] for p in self.stacks[idx]
+            native.imread_compat(p).astype(np.float32)[my:-my, mx:-mx]
+            for p in self.stacks[idx]
         ]
         stack = np.stack(imgs, axis=-1).transpose(0, 1, 2, 3)  # (H,W,3,N)
 
@@ -367,7 +369,7 @@ class _PathListStacks:
 
     def read_stack(self, idx: int) -> np.ndarray:
         cv2 = _cv2()
-        imgs = [cv2.imread(x[idx]).astype(np.float64) for x in self.rgb_paths]
+        imgs = [native.imread_compat(x[idx]).astype(np.float64) for x in self.rgb_paths]
         return np.stack(imgs, axis=-1)  # (H, W, 3, N)
 
 
@@ -458,7 +460,7 @@ class RealScenesDataset:
         files = sorted(
             f for f in os.listdir(path) if f.endswith(".png") or f.endswith("jpg")
         )
-        first = cv2.imread(path + files[0])
+        first = native.imread_compat(path + files[0])
         h0, w0 = first.shape[:2]
         cy, cx = h0 // 12, w0 // 12
 
@@ -472,10 +474,9 @@ class RealScenesDataset:
         rel_fov = 1 / focal_length - 1 / focus_dists
         rel_fov = rel_fov / np.min(rel_fov)
 
-        from dffx.data import native
-
         imgs = [
-            cv2.imread(path + files[i])[cy:-cy, cx:-cx] for i in range(self.num_imgs)
+            native.imread_compat(path + files[i])[cy:-cy, cx:-cx]
+            for i in range(self.num_imgs)
         ]
         raw = np.stack(imgs, axis=0)  # (N, H, W, 3) uint8
         unpadded = raw.shape[1:3]

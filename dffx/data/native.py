@@ -40,6 +40,9 @@ def ensure_built(quiet: bool = True) -> bool:
         return False
 
 
+_REQUIRED_VERSION = 2  # bump when csrc adds entry points
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
@@ -47,6 +50,16 @@ def _load() -> Optional[ctypes.CDLL]:
     if not ensure_built():
         return None
     lib = ctypes.CDLL(_SO)
+    lib.dffxio_version.restype = ctypes.c_int
+    if lib.dffxio_version() < _REQUIRED_VERSION:
+        # stale build from an older checkout — force a rebuild and reload
+        try:
+            subprocess.run(["make", "-B", "-C", _CSRC], check=True,
+                           capture_output=True)
+            lib = ctypes.CDLL(_SO)
+            lib.dffxio_version.restype = ctypes.c_int
+        except Exception:
+            return None
     i64, f32, i32 = ctypes.c_int64, ctypes.c_float, ctypes.c_int
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
@@ -55,7 +68,15 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.dffxio_normalize_pad_stack.argtypes = [u8p, f32p, i64, i64, i64, i64, i64, i64, f32, i32]
     lib.dffxio_normalize_pad_stack_f32.argtypes = [f32p, f32p, i64, i64, i64, i64, i64, i64, f32, i32]
     lib.dffxio_hwcn_to_nhwc_normalize.argtypes = [f64p, f32p, i64, i64, i64, i64, i32]
-    lib.dffxio_version.restype = ctypes.c_int
+    pi64 = ctypes.POINTER(ctypes.c_int64)
+    for name in ("dffxio_jpeg_info", "dffxio_png_info"):
+        fn = getattr(lib, name)
+        fn.argtypes = [u8p, i64, pi64, pi64]
+        fn.restype = ctypes.c_int
+    for name in ("dffxio_jpeg_decode", "dffxio_png_decode"):
+        fn = getattr(lib, name)
+        fn.argtypes = [u8p, i64, u8p, i64, i64]
+        fn.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -104,3 +125,41 @@ def hwcn_to_nhwc_normalize(stack: np.ndarray, threads: int = 4) -> np.ndarray:
         np.ascontiguousarray(stack, dtype=np.float64), dst, h, w, c, n, threads
     )
     return dst
+
+
+def imread(path: str) -> Optional[np.ndarray]:
+    """cv2.imread-compatible decode — ``(H, W, 3)`` uint8 **BGR** — through
+    libjpeg/libpng (csrc), without OpenCV.  Returns ``None`` when the native
+    library is unavailable or the file isn't a JPEG/PNG, so callers can fall
+    back to cv2 (``imread_compat``)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "dffxio_jpeg_info"):
+        return None
+    with open(path, "rb") as f:
+        buf = np.frombuffer(f.read(), np.uint8)
+    head = buf[:8].tobytes()
+    if head[:2] == b"\xff\xd8":
+        info, dec = lib.dffxio_jpeg_info, lib.dffxio_jpeg_decode
+    elif head == b"\x89PNG\r\n\x1a\n":
+        info, dec = lib.dffxio_png_info, lib.dffxio_png_decode
+    else:
+        return None
+    h = ctypes.c_int64()
+    w = ctypes.c_int64()
+    if info(buf, len(buf), ctypes.byref(h), ctypes.byref(w)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    if dec(buf, len(buf), out, h.value, w.value) != 0:
+        return None
+    return out
+
+
+def imread_compat(path: str) -> np.ndarray:
+    """``imread`` with a cv2 fallback for formats the native path doesn't
+    cover (TIFF) or when the .so is missing."""
+    img = imread(path)
+    if img is not None:
+        return img
+    import cv2
+
+    return cv2.imread(path)

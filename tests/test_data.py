@@ -355,3 +355,25 @@ def test_simulated_scenes_dataset_roundtrip(tmp_path, rng):
     assert np.isfinite(s["fs"]).all() and s["mask"].any()
     ds_val = SimulatedScenesDataset(str(tmp_path), mode="val", num_imgs=4)
     assert ds_val[0]["fs"].shape == (4, 64, 96, 3)
+
+
+def test_native_imread_matches_cv2(tmp_path):
+    """csrc libjpeg/libpng decode must be byte-identical to cv2.imread
+    (BGR uint8) — the loaders' byte parity with the reference depends on it."""
+    import cv2
+
+    from dffx.data import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    p = str(tmp_path / "x.png")
+    cv2.imwrite(p, img)
+    got = native.imread(p)
+    np.testing.assert_array_equal(got, cv2.imread(p))
+    np.testing.assert_array_equal(got, img)  # png is lossless
+
+    jp = str(tmp_path / "x.jpg")
+    cv2.imwrite(jp, img, [cv2.IMWRITE_JPEG_QUALITY, 90])
+    np.testing.assert_array_equal(native.imread(jp), cv2.imread(jp))
