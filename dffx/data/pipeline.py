@@ -112,6 +112,7 @@ def device_prefetch(
     """Move batches to device ahead of consumption (double buffering)."""
     buf: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
+    error: list = []
 
     def put(batch):
         if sharding is not None:
@@ -126,6 +127,8 @@ def device_prefetch(
         try:
             for batch in iterator:
                 buf.put(put(batch))
+        except BaseException as e:  # surface decode/transfer errors, don't
+            error.append(e)         # silently truncate the epoch
         finally:
             buf.put(sentinel)
 
@@ -136,3 +139,5 @@ def device_prefetch(
         if item is sentinel:
             break
         yield item
+    if error:
+        raise error[0]

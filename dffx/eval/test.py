@@ -71,6 +71,7 @@ def iter_preds(fwd, dataset, *, batch_size=1, num_threads=4):
     # (device_put is async; two batches in flight)
     buf: "queue.Queue" = queue.Queue(maxsize=2)
     sentinel = object()
+    error: list = []
 
     def producer():
         try:
@@ -78,6 +79,8 @@ def iter_preds(fwd, dataset, *, batch_size=1, num_threads=4):
                 dev = (jax.device_put(batch["fs"]),
                        jax.device_put(batch["focus_dists"]))
                 buf.put((batch, dev))
+        except BaseException as e:  # surface decode errors — a silently
+            error.append(e)         # truncated eval would corrupt metrics
         finally:
             buf.put(sentinel)
 
@@ -86,6 +89,8 @@ def iter_preds(fwd, dataset, *, batch_size=1, num_threads=4):
     while True:
         item = buf.get()
         if item is sentinel:
+            if error:
+                raise error[0]
             break
         batch, (fs_dev, fd_dev) = item
         outs = fwd(fs_dev, fd_dev)

@@ -377,3 +377,22 @@ def test_native_imread_matches_cv2(tmp_path):
     jp = str(tmp_path / "x.jpg")
     cv2.imwrite(jp, img, [cv2.IMWRITE_JPEG_QUALITY, 90])
     np.testing.assert_array_equal(native.imread(jp), cv2.imread(jp))
+
+
+def test_device_prefetch_propagates_loader_errors():
+    """A decode error mid-epoch must raise, not silently truncate the epoch
+    (the prefetch producer runs in a daemon thread)."""
+    from dffx.data import Loader, device_prefetch
+
+    class Bad:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise RuntimeError("decode boom")
+            return {"fs": np.zeros((2, 32, 32, 3), np.float32)}
+
+    with pytest.raises(RuntimeError, match="decode boom"):
+        for _ in device_prefetch(iter(Loader(Bad(), 2, num_threads=1))):
+            pass
