@@ -62,3 +62,16 @@ def test_auto_resume_loads_epoch_one(tmp_path, tiny_recipe, capsys):
     # resumed state (step=1) trained one more epoch-1 step, saved at epoch 2
     # with step=2; the old `> 1` guard silently reinitialized -> step 1
     assert int(ckpt.load(root + "models/2.ckpt")["step"]) == 2
+
+
+def test_cli_per_shard_bn_smoke(tmp_path, tiny_recipe, capsys):
+    """--bn_mode per_shard must train end-to-end through the CLI (shard_map
+    step over the full device mesh, batch sharded per device)."""
+    root = str(tmp_path) + "/"
+    cli.main([
+        "--recipe", "DDFF", "--lr", "1e-4", "--saveroot", root,
+        "--batch_size", str(tiny_recipe), "--cpus", "2",
+        "--steps-per-epoch", "1", "--max_epoch", "1",
+        "--bn_mode", "per_shard",
+    ])
+    assert int(ckpt.load(root + "models/1.ckpt")["step"]) == 1
