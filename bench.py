@@ -81,6 +81,10 @@ def bench_dffx() -> dict:
                       "falling back", file=sys.stderr)
         sps = used_batch / per
         results[f"b{batch}_stacks_per_sec"] = round(sps, 2)
+        if used_batch != batch:
+            # HBM fallback ran a smaller batch — record it so the artifact
+            # never silently relabels a batch-64 number as batch-128
+            results[f"b{batch}_actual_batch"] = used_batch
         best = max(best, sps)
     results["best"] = best
     return results

@@ -102,6 +102,10 @@ def to_torch_state_dict(params: Mapping[str, jax.Array], specs: SpecTable) -> Di
 FORMAT_VERSION = 2
 _MANIFEST = "__dffx_manifest__"
 
+import itertools as _itertools
+
+_tmp_counter = _itertools.count()
+
 
 def _flatten(tree):
     leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
@@ -116,7 +120,9 @@ def _write(path: str, keys, arrays) -> None:
     import zipfile
 
     manifest = json.dumps({"version": FORMAT_VERSION, "keys": keys})
-    tmp = f"{path}.tmp.{os.getpid()}"
+    # unique per call, not just per process: two in-flight save_async()s to
+    # the same path must not interleave writes into one tmp file
+    tmp = f"{path}.tmp.{os.getpid()}.{next(_tmp_counter)}"
     try:
         with open(tmp, "wb") as f:
             # ZIP_STORED: tensors don't deflate, and mmap-style reads stay cheap

@@ -52,12 +52,21 @@ def _load() -> Optional[ctypes.CDLL]:
     lib = ctypes.CDLL(_SO)
     lib.dffxio_version.restype = ctypes.c_int
     if lib.dffxio_version() < _REQUIRED_VERSION:
-        # stale build from an older checkout — force a rebuild and reload
+        # Stale build from an older checkout: rebuild, then dlopen a COPY —
+        # dlopen caches by path, so re-CDLL'ing the original path would hand
+        # back the already-loaded old library and the new symbols would be
+        # missing (and rebuilding in place under an mmapped .so is UB anyway).
         try:
+            import shutil
+
             subprocess.run(["make", "-B", "-C", _CSRC], check=True,
                            capture_output=True)
-            lib = ctypes.CDLL(_SO)
+            versioned = f"{_SO}.v{_REQUIRED_VERSION}"
+            shutil.copy2(_SO, versioned)
+            lib = ctypes.CDLL(versioned)
             lib.dffxio_version.restype = ctypes.c_int
+            if lib.dffxio_version() < _REQUIRED_VERSION:
+                return None  # rebuild didn't take — degrade to fallbacks
         except Exception:
             return None
     i64, f32, i32 = ctypes.c_int64, ctypes.c_float, ctypes.c_int
@@ -127,11 +136,42 @@ def hwcn_to_nhwc_normalize(stack: np.ndarray, threads: int = 4) -> np.ndarray:
     return dst
 
 
+def _jpeg_exif_orientation(buf: bytes) -> int:
+    """EXIF Orientation (1 when absent/unparseable).  libjpeg ignores EXIF
+    but cv2.imread auto-rotates; oriented files must take the cv2 path or
+    the two decoders disagree by a rotation."""
+    try:
+        i, n = 2, len(buf)
+        while i + 4 <= n and buf[i] == 0xFF:
+            marker = buf[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i += 2
+                continue
+            if marker == 0xDA:  # start of scan — no EXIF seen
+                break
+            seglen = int.from_bytes(buf[i + 2 : i + 4], "big")
+            if marker == 0xE1 and buf[i + 4 : i + 10] == b"Exif\x00\x00":
+                t = i + 10
+                bo = "little" if buf[t : t + 2] == b"II" else "big"
+                p = t + int.from_bytes(buf[t + 4 : t + 8], bo)
+                cnt = int.from_bytes(buf[p : p + 2], bo)
+                for k in range(cnt):
+                    e = p + 2 + 12 * k
+                    if int.from_bytes(buf[e : e + 2], bo) == 0x0112:
+                        return int.from_bytes(buf[e + 8 : e + 10], bo) or 1
+                return 1
+            i += 2 + seglen
+    except Exception:
+        pass
+    return 1
+
+
 def imread(path: str) -> Optional[np.ndarray]:
     """cv2.imread-compatible decode — ``(H, W, 3)`` uint8 **BGR** — through
     libjpeg/libpng (csrc), without OpenCV.  Returns ``None`` when the native
-    library is unavailable or the file isn't a JPEG/PNG, so callers can fall
-    back to cv2 (``imread_compat``)."""
+    library is unavailable, the file isn't a JPEG/PNG, or the JPEG carries a
+    non-identity EXIF orientation (cv2 auto-rotates those; the fallback in
+    ``imread_compat`` keeps behaviour identical)."""
     lib = _load()
     if lib is None or not hasattr(lib, "dffxio_jpeg_info"):
         return None
@@ -139,6 +179,8 @@ def imread(path: str) -> Optional[np.ndarray]:
         buf = np.frombuffer(f.read(), np.uint8)
     head = buf[:8].tobytes()
     if head[:2] == b"\xff\xd8":
+        if _jpeg_exif_orientation(buf.tobytes()) != 1:
+            return None
         info, dec = lib.dffxio_jpeg_info, lib.dffxio_jpeg_decode
     elif head == b"\x89PNG\r\n\x1a\n":
         info, dec = lib.dffxio_png_info, lib.dffxio_png_decode

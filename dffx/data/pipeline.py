@@ -108,13 +108,19 @@ def device_prefetch(
     *,
     sharding: Optional[jax.sharding.Sharding] = None,
     size: int = 2,
+    transform=None,
 ):
-    """Move batches to device ahead of consumption (double buffering)."""
+    """Move batches to device ahead of consumption (double buffering).
+
+    ``transform`` overrides the per-item device placement — e.g. batched
+    eval keeps the host batch alongside device-put inputs."""
     buf: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
     error: list = []
 
     def put(batch):
+        if transform is not None:
+            return transform(batch)
         if sharding is not None:
             from dffx.parallel.distributed import global_batch
 

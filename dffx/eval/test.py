@@ -59,40 +59,20 @@ def iter_preds(fwd, dataset, *, batch_size=1, num_threads=4):
             s = dataset[idx]
             yield idx, s, _forward_pred3(fwd, s)
         return
-    import queue
-    import threading
-
     import jax
 
-    from dffx.data import Loader
+    from dffx.data import Loader, device_prefetch
 
     loader = Loader(dataset, batch_size, shuffle=False, num_threads=num_threads)
-    # overlap host->device input copies with the previous batch's forward
-    # (device_put is async; two batches in flight)
-    buf: "queue.Queue" = queue.Queue(maxsize=2)
-    sentinel = object()
-    error: list = []
 
-    def producer():
-        try:
-            for batch in loader:
-                dev = (jax.device_put(batch["fs"]),
+    def to_device(batch):
+        # overlap host->device input copies with the previous batch's forward
+        # (device_put is async); keep the host batch for metrics/crops
+        return batch, (jax.device_put(batch["fs"]),
                        jax.device_put(batch["focus_dists"]))
-                buf.put((batch, dev))
-        except BaseException as e:  # surface decode errors — a silently
-            error.append(e)         # truncated eval would corrupt metrics
-        finally:
-            buf.put(sentinel)
 
-    threading.Thread(target=producer, daemon=True).start()
     idx = 0
-    while True:
-        item = buf.get()
-        if item is sentinel:
-            if error:
-                raise error[0]
-            break
-        batch, (fs_dev, fd_dev) = item
+    for batch, (fs_dev, fd_dev) in device_prefetch(iter(loader), transform=to_device):
         outs = fwd(fs_dev, fd_dev)
         p3 = np.asarray(outs[3], dtype=np.float32)
         for b in range(p3.shape[0]):

@@ -74,6 +74,43 @@ def _in_index(in_groups):
     return idx
 
 
+# The transforms below run on jit-traced weights, so they must be ONE gather
+# each (a scatter-loop formulation emits hundreds of dynamic-update-slice ops
+# into every compiled forward).  Each builds a cached numpy index map
+# (dy, dx, ci, co) -> source tap (or masked zero) once per shape, then
+# gathers ``w[:, dy_map, dx_map, ci_map, co_map] * mask``.
+
+import functools as _functools
+
+import numpy as _np
+
+
+@_functools.lru_cache(maxsize=None)
+def _s1_index_map(ci: int, co: int, groups: tuple):
+    idx = _in_index(list(groups))
+    shape = (3, 3, 4 * ci, 4 * co)
+    dym = _np.zeros(shape, _np.int32)
+    dxm = _np.zeros(shape, _np.int32)
+    cim = _np.zeros(shape, _np.int32)
+    com = _np.zeros(shape, _np.int32)
+    mask = _np.zeros(shape, _np.float32)
+    cos = _np.arange(co)
+    for qy in (0, 1):
+        for qx in (0, 1):
+            q = qy * 2 + qx
+            for dy in range(3):
+                for dx in range(3):
+                    py, dy_c = (qy + dy - 1) % 2, (qy + dy - 1) // 2
+                    px, dx_c = (qx + dx - 1) % 2, (qx + dx - 1) // 2
+                    p_in = py * 2 + px
+                    for c0 in range(ci):
+                        j = idx(p_in, c0)
+                        sl = (dy_c + 1, dx_c + 1, j, slice(q * co, (q + 1) * co))
+                        dym[sl], dxm[sl], cim[sl], com[sl] = dy, dx, c0, cos
+                        mask[sl] = 1.0
+    return dym, dxm, cim, com, mask
+
+
 def pack_conv_s1(w: jax.Array, in_groups=None) -> jax.Array:
     """Stride-1 ``(kd,3,3)`` conv (pad 1) -> packed ``(kd,3,3, 4Ci, 4Co)``.
 
@@ -84,22 +121,30 @@ def pack_conv_s1(w: jax.Array, in_groups=None) -> jax.Array:
     """
     kd, kh, kw, ci, co = w.shape
     assert (kh, kw) == (3, 3), (kh, kw)
-    groups = in_groups or [ci]
+    groups = tuple(in_groups or [ci])
     assert sum(groups) == ci
-    idx = _in_index(groups)
-    wp = jnp.zeros((kd, 3, 3, 4 * ci, 4 * co), w.dtype)
-    for qy in (0, 1):
-        for qx in (0, 1):
-            q = qy * 2 + qx
-            for dy in range(3):
-                for dx in range(3):
-                    py, dy_c = (qy + dy - 1) % 2, (qy + dy - 1) // 2
-                    px, dx_c = (qx + dx - 1) % 2, (qx + dx - 1) // 2
-                    p_in = py * 2 + px
-                    for c0 in range(ci):
-                        wp = wp.at[:, dy_c + 1, dx_c + 1, idx(p_in, c0),
-                                   q * co : (q + 1) * co].add(w[:, dy, dx, c0])
-    return wp
+    dym, dxm, cim, com, mask = _s1_index_map(ci, co, groups)
+    return w[:, dym, dxm, cim, com] * jnp.asarray(mask, w.dtype)
+
+
+@_functools.lru_cache(maxsize=None)
+def _s2_index_map(ci: int, co: int):
+    shape = (2, 2, 4 * ci, co)
+    dym = _np.zeros(shape, _np.int32)
+    dxm = _np.zeros(shape, _np.int32)
+    cim = _np.zeros(shape, _np.int32)
+    com = _np.zeros(shape, _np.int32)
+    mask = _np.zeros(shape, _np.float32)
+    cis, cos = _np.arange(ci)[:, None], _np.arange(co)[None, :]
+    for dy in range(3):
+        for dx in range(3):
+            py, dy_c = (dy - 1) % 2, (dy - 1) // 2
+            px, dx_c = (dx - 1) % 2, (dx - 1) // 2
+            p_in = py * 2 + px
+            sl = (dy_c + 1, dx_c + 1, slice(p_in * ci, (p_in + 1) * ci), slice(None))
+            dym[sl], dxm[sl], cim[sl], com[sl] = dy, dx, cis, cos
+            mask[sl] = 1.0
+    return dym, dxm, cim, com, mask
 
 
 def pack_conv_s2(w: jax.Array) -> jax.Array:
@@ -111,15 +156,33 @@ def pack_conv_s2(w: jax.Array) -> jax.Array:
     """
     kd, kh, kw, ci, co = w.shape
     assert (kh, kw) == (3, 3)
-    wp = jnp.zeros((kd, 2, 2, 4 * ci, co), w.dtype)
-    for dy in range(3):
-        for dx in range(3):
-            py, dy_c = (dy - 1) % 2, (dy - 1) // 2
-            px, dx_c = (dx - 1) % 2, (dx - 1) // 2
-            p_in = py * 2 + px
-            wp = wp.at[:, dy_c + 1, dx_c + 1,
-                       p_in * ci : (p_in + 1) * ci, :].add(w[:, dy, dx])
-    return wp
+    dym, dxm, cim, com, mask = _s2_index_map(ci, co)
+    return w[:, dym, dxm, cim, com] * jnp.asarray(mask, w.dtype)
+
+
+@_functools.lru_cache(maxsize=None)
+def _deconv_index_map(ci: int, co: int):
+    taps = {(0, 0): 1, (1, 0): 2, (1, 1): 0}  # (phase, window tap) -> w index
+    shape = (2, 2, ci, 4 * co)
+    dym = _np.zeros(shape, _np.int32)
+    dxm = _np.zeros(shape, _np.int32)
+    cim = _np.zeros(shape, _np.int32)
+    com = _np.zeros(shape, _np.int32)
+    mask = _np.zeros(shape, _np.float32)
+    cis, cos = _np.arange(ci)[:, None], _np.arange(co)[None, :]
+    for qy in (0, 1):
+        for qx in (0, 1):
+            q = qy * 2 + qx
+            for ty in (0, 1):
+                for tx in (0, 1):
+                    iy = taps.get((qy, ty))
+                    ix = taps.get((qx, tx))
+                    if iy is None or ix is None:
+                        continue
+                    sl = (ty, tx, slice(None), slice(q * co, (q + 1) * co))
+                    dym[sl], dxm[sl], cim[sl], com[sl] = iy, ix, cis, cos
+                    mask[sl] = 1.0
+    return dym, dxm, cim, com, mask
 
 
 def pack_deconv(w: jax.Array) -> jax.Array:
@@ -135,29 +198,30 @@ def pack_deconv(w: jax.Array) -> jax.Array:
     kd, kh, kw, ci, co = w.shape
     assert (kh, kw) == (3, 3)
     wf = jnp.flip(w, axis=0)  # focus-axis correlation flip
-    taps = {(0, 0): 1, (1, 0): 2, (1, 1): 0}  # (phase, window tap) -> w index
-    wp = jnp.zeros((kd, 2, 2, ci, 4 * co), w.dtype)
-    for qy in (0, 1):
-        for qx in (0, 1):
-            q = qy * 2 + qx
-            for ty in (0, 1):
-                for tx in (0, 1):
-                    iy = taps.get((qy, ty))
-                    ix = taps.get((qx, tx))
-                    if iy is None or ix is None:
-                        continue
-                    wp = wp.at[:, ty, tx, :, q * co : (q + 1) * co].set(wf[:, iy, ix])
-    return wp
+    dym, dxm, cim, com, mask = _deconv_index_map(ci, co)
+    return wf[:, dym, dxm, cim, com] * jnp.asarray(mask, w.dtype)
+
+
+@_functools.lru_cache(maxsize=None)
+def _conv1x1_index_map(ci: int, co: int):
+    shape = (4 * ci, 4 * co)
+    cim = _np.zeros(shape, _np.int32)
+    com = _np.zeros(shape, _np.int32)
+    mask = _np.zeros(shape, _np.float32)
+    cis, cos = _np.arange(ci)[:, None], _np.arange(co)[None, :]
+    for p in range(4):
+        sl = (slice(p * ci, (p + 1) * ci), slice(p * co, (p + 1) * co))
+        cim[sl], com[sl] = cis, cos
+        mask[sl] = 1.0
+    return cim, com, mask
 
 
 def pack_conv_1x1(w: jax.Array) -> jax.Array:
     """1x1x1 conv -> packed block-diagonal ``(1,1,1, 4Ci, 4Co)``."""
     kd, kh, kw, ci, co = w.shape
     assert (kd, kh, kw) == (1, 1, 1)
-    wp = jnp.zeros((1, 1, 1, 4 * ci, 4 * co), w.dtype)
-    for p in range(4):
-        wp = wp.at[0, 0, 0, p * ci : (p + 1) * ci, p * co : (p + 1) * co].set(w[0, 0, 0])
-    return wp
+    cim, com, mask = _conv1x1_index_map(ci, co)
+    return (w[:, 0, 0, cim, com] * jnp.asarray(mask, w.dtype))[:, None, None]
 
 
 def _conv(x, w, pad, precision=None):

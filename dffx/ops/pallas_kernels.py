@@ -373,7 +373,9 @@ def srd_attention_residual_cf(fs: jax.Array, wn, w1, *, n: int, c: int) -> jax.A
     # under the 16 MB scoped-vmem limit (Middlebury half-res N*C=240 at
     # wp=512 hit 19.3 MB without the channel term).
     wp_now = -(-wd // 128) * 128
-    if wd > 512 or n * c * wp_now > 64 * 1024:
+    if (wd > 512 or n * c * wp_now > 64 * 1024) and wd > 128:
+        # wd <= 128 cannot split further (one lane tile) — fall through and
+        # let the kernel try; a clean resource error beats infinite recursion
         mid = max(wd // 2 // 128, 1) * 128
         return jnp.concatenate(
             [srd_attention_residual_cf(fs[..., :mid], wn, w1, n=n, c=c),
