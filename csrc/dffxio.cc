@@ -227,6 +227,14 @@ int dffxio_png_info(const uint8_t* buf, int64_t len, int64_t* h, int64_t* w) {
   img.version = PNG_IMAGE_VERSION;
   if (!png_image_begin_read_from_memory(&img, buf, static_cast<size_t>(len)))
     return -1;
+  // Alpha (incl. palette+tRNS) and 16-bit PNGs decode differently from
+  // cv2.imread (libpng composites/rescales; cv2 drops alpha, scales 16→8
+  // its own way) — report them unsupported so the caller's cv2 fallback
+  // keeps byte parity, mirroring the JPEG EXIF-orientation guard.
+  if (img.format & (PNG_FORMAT_FLAG_ALPHA | PNG_FORMAT_FLAG_LINEAR)) {
+    png_image_free(&img);
+    return -4;
+  }
   *h = img.height;
   *w = img.width;
   png_image_free(&img);
@@ -246,6 +254,10 @@ int dffxio_png_decode(const uint8_t* buf, int64_t len, uint8_t* dst,
     png_image_free(&img);
     return -3;
   }
+  if (img.format & (PNG_FORMAT_FLAG_ALPHA | PNG_FORMAT_FLAG_LINEAR)) {
+    png_image_free(&img);
+    return -4;  // see dffxio_png_info — cv2 parity requires the fallback
+  }
   img.format = PNG_FORMAT_BGR;
   if (!png_image_finish_read(&img, nullptr, dst, 0, nullptr)) {
     png_image_free(&img);
@@ -254,6 +266,6 @@ int dffxio_png_decode(const uint8_t* buf, int64_t len, uint8_t* dst,
   return 0;
 }
 
-int dffxio_version() { return 2; }
+int dffxio_version() { return 3; }
 
 }  // extern "C"

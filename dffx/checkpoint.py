@@ -130,7 +130,15 @@ def _write(path: str, keys, arrays) -> None:
                 zf.writestr(_MANIFEST, manifest)
                 for i, arr in enumerate(arrays):
                     buf = io.BytesIO()
-                    np.lib.format.write_array(buf, np.ascontiguousarray(arr))
+                    # allow_pickle=False: an object-dtype leaf must fail fast
+                    # at save time — read_array defaults allow_pickle=False,
+                    # so an embedded pickle would only explode at load.
+                    # asarray(order="C"), NOT ascontiguousarray: the latter
+                    # silently promotes 0-d leaves (TrainState.step) to (1,),
+                    # breaking shape fidelity across a resume.
+                    np.lib.format.write_array(
+                        buf, np.asarray(arr, order="C"), allow_pickle=False
+                    )
                     zf.writestr(f"leaf_{i}.npy", buf.getvalue())
             f.flush()
             os.fsync(f.fileno())

@@ -313,7 +313,7 @@ class SmartphoneDataset:
             native.imread_compat(p).astype(np.float32)[my:-my, mx:-mx]
             for p in self.stacks[idx]
         ]
-        stack = np.stack(imgs, axis=-1).transpose(0, 1, 2, 3)  # (H,W,3,N)
+        stack = np.stack(imgs, axis=-1)  # (H,W,3,N)
 
         gt = cv2.imread(self.depths[idx], cv2.IMREAD_UNCHANGED).astype(np.float32)[
             my:-my, mx:-mx

@@ -40,7 +40,7 @@ def ensure_built(quiet: bool = True) -> bool:
         return False
 
 
-_REQUIRED_VERSION = 2  # bump when csrc adds entry points
+_REQUIRED_VERSION = 3  # bump when csrc adds entry points or changes guards
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -169,9 +169,10 @@ def _jpeg_exif_orientation(buf: bytes) -> int:
 def imread(path: str) -> Optional[np.ndarray]:
     """cv2.imread-compatible decode — ``(H, W, 3)`` uint8 **BGR** — through
     libjpeg/libpng (csrc), without OpenCV.  Returns ``None`` when the native
-    library is unavailable, the file isn't a JPEG/PNG, or the JPEG carries a
-    non-identity EXIF orientation (cv2 auto-rotates those; the fallback in
-    ``imread_compat`` keeps behaviour identical)."""
+    library is unavailable, the file isn't a JPEG/PNG, the JPEG carries a
+    non-identity EXIF orientation (cv2 auto-rotates those), or the PNG has
+    an alpha channel / 16-bit depth (libpng composites/rescales differently
+    from cv2); the fallback in ``imread_compat`` keeps behaviour identical."""
     lib = _load()
     if lib is None or not hasattr(lib, "dffxio_jpeg_info"):
         return None

@@ -117,6 +117,7 @@ def device_prefetch(
     buf: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
     error: list = []
+    stop = threading.Event()  # set when the consumer abandons the generator
 
     def put(batch):
         if transform is not None:
@@ -129,21 +130,37 @@ def device_prefetch(
             return global_batch(batch, sharding)
         return jax.tree_util.tree_map(jax.device_put, batch)
 
+    def put_or_stop(item) -> bool:
+        # a plain buf.put would block forever if the consumer broke out of
+        # the generator early (e.g. --steps-per-epoch), pinning this thread
+        # AND the Loader's ThreadPoolExecutor for the process lifetime
+        while not stop.is_set():
+            try:
+                buf.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for batch in iterator:
-                buf.put(put(batch))
+                if not put_or_stop(put(batch)):
+                    return
         except BaseException as e:  # surface decode/transfer errors, don't
             error.append(e)         # silently truncate the epoch
         finally:
-            buf.put(sentinel)
+            put_or_stop(sentinel)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = buf.get()
-        if item is sentinel:
-            break
-        yield item
+    try:
+        while True:
+            item = buf.get()
+            if item is sentinel:
+                break
+            yield item
+    finally:
+        stop.set()  # releases the producer (and the Loader's pool) on early exit
     if error:
         raise error[0]

@@ -58,13 +58,49 @@ class TimedForward:
 
     ``use_pallas=None`` auto-enables the fused TPU kernels AND the packed
     (space-to-depth) tail for the bf16 serving path — both measured wins at
-    eval batch sizes (fp32 stays on the XLA parity path)."""
+    eval batch sizes (fp32 stays on the XLA parity path).
+
+    ``spatial > 1`` serves each forward over a ``(1, spatial)`` device mesh:
+    params replicated, inputs sharded along H, halo exchanges inserted by
+    GSPMD (SURVEY §5 spatial-parallel serving; the reference's multi-GPU
+    inference analogue is ``nn.DataParallel``, `test.py:32`).  Spatial
+    sharding composes with the Pallas fast path only per-shard; the fused
+    kernels assume whole rows, so ``spatial > 1`` forces the XLA path."""
 
     def __init__(self, apply_fn, params, *, dtype=jnp.float32, precision=None,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None, spatial: int = 1):
         self.params = params
         self.total = 0.0
         self.count = 0
+        self._put_one = None
+        if spatial > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from dffx.parallel import make_mesh
+
+            devs = jax.devices()
+            if len(devs) < spatial:
+                raise ValueError(
+                    f"--spatial {spatial} needs {spatial} devices, "
+                    f"have {len(devs)}"
+                )
+            mesh = make_mesh(devs[:spatial], data=1, spatial=spatial)
+            ssh = NamedSharding(mesh, P(None, None, "spatial"))
+            rep = NamedSharding(mesh, P())
+            self.params = jax.device_put(params, rep)
+            use_pallas = False  # row-block kernels don't see across halo cuts
+
+            def put_one(a):
+                a = jnp.asarray(a)
+                if a.ndim >= 4 and a.shape[2] % spatial:
+                    raise ValueError(
+                        f"H={a.shape[2]} not divisible by --spatial {spatial}"
+                        " (eval shapes are x32-padded, so spatial <= 32 powers"
+                        " of two always divide)"
+                    )
+                return jax.device_put(a, ssh if a.ndim >= 4 else rep)
+
+            self._put_one = put_one
         if use_pallas is None:
             use_pallas = (
                 jax.devices()[0].platform == "tpu" and dtype == jnp.bfloat16
@@ -78,11 +114,19 @@ class TimedForward:
 
         self._jitted = jax.jit(fwd)
 
+    def put(self, *args):
+        """Device-place forward inputs (async) — spatially sharded when the
+        mesh is active, plain device arrays otherwise.  Shared by the direct
+        call path and the batched-eval prefetch transform."""
+        if self._put_one is not None:
+            return tuple(self._put_one(a) for a in args)
+        return tuple(jnp.asarray(a) for a in args)
+
     def __call__(self, *args):
         # complete the H2D copies before starting the clock — the reference
         # times the forward after `.cuda()` (`test.py:115-118`), so AVG_time
         # measures the model, not the host link
-        args = jax.block_until_ready(tuple(jnp.asarray(a) for a in args))
+        args = jax.block_until_ready(self.put(*args))
         t0 = time.time()
         outs = self._jitted(self.params, *args)
         outs = jax.block_until_ready(outs)

@@ -67,9 +67,9 @@ def iter_preds(fwd, dataset, *, batch_size=1, num_threads=4):
 
     def to_device(batch):
         # overlap host->device input copies with the previous batch's forward
-        # (device_put is async); keep the host batch for metrics/crops
-        return batch, (jax.device_put(batch["fs"]),
-                       jax.device_put(batch["focus_dists"]))
+        # (device_put is async); keep the host batch for metrics/crops.
+        # fwd.put applies the spatial sharding when --spatial is active.
+        return batch, fwd.put(batch["fs"], batch["focus_dists"])
 
     idx = 0
     for batch, (fs_dev, fd_dev) in device_prefetch(iter(loader), transform=to_device):
@@ -124,6 +124,10 @@ def main(argv=None):
                         help="eval forward batch (fixed-shape datasets); "
                              "1 reproduces the reference's sample-at-a-time loop")
     parser.add_argument("--cpus", type=int, default=4, help="decoder threads")
+    parser.add_argument("--spatial", type=int, default=1,
+                        help="shard each forward's H axis over this many "
+                             "devices (params replicated, GSPMD halo "
+                             "exchanges) — multi-chip serving for big stacks")
     args = parser.parse_args(argv)
 
     from dffx.utils.profiling import enable_persistent_cache
@@ -138,7 +142,7 @@ def main(argv=None):
     def make_fwd(root):
         path = args.checkpoint or os.path.join(root, "check_point.pth")
         params = load_params_auto(path, specs, allow_random=args.allow_random_init)
-        return TimedForward(dffnet_apply, params, dtype=dtype)
+        return TimedForward(dffnet_apply, params, dtype=dtype, spatial=args.spatial)
 
     if args.dataset == "DefocusNet":
         root = os.path.join(args.results_root, "DefocusNet/")

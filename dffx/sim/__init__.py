@@ -7,6 +7,8 @@ from dffx.sim.simulator import (
     disc_kernel,
     generate_scene,
     render_focal_slice,
+    render_scene_fused,
+    render_slice_fused,
     warp_2d,
 )
 
@@ -17,5 +19,7 @@ __all__ = [
     "disc_kernel",
     "generate_scene",
     "render_focal_slice",
+    "render_scene_fused",
+    "render_slice_fused",
     "warp_2d",
 ]

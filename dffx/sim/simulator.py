@@ -111,14 +111,22 @@ def warp_2d(img: np.ndarray, fov: float, beta: float, gamma: float) -> np.ndarra
 # ---------------------------------------------------------------------------
 
 
+_DISC_CACHE = {}
+
+
 def disc_kernel(blur_size: int) -> np.ndarray:
     """Normalized disc PSF, identical to ``create_blur`` (`:81-87`):
-    cv2.circle(radius=blur_size//2, filled) on a blur_size^2 canvas."""
-    import cv2
+    cv2.circle(radius=blur_size//2, filled) on a blur_size^2 canvas.
+    Memoized — a scene calls this hundreds of times over ~30 distinct sizes."""
+    cached = _DISC_CACHE.get(blur_size)
+    if cached is None:
+        import cv2
 
-    canvas = np.zeros((blur_size, blur_size), dtype=np.float64)
-    cv2.circle(canvas, (blur_size // 2, blur_size // 2), blur_size // 2, (1, 1, 1), -1)
-    return canvas / np.sum(canvas)
+        canvas = np.zeros((blur_size, blur_size), dtype=np.float64)
+        cv2.circle(canvas, (blur_size // 2, blur_size // 2), blur_size // 2,
+                   (1, 1, 1), -1)
+        cached = _DISC_CACHE.setdefault(blur_size, canvas / np.sum(canvas))
+    return cached
 
 
 def coc_layers(
@@ -273,6 +281,70 @@ def render_slice_fused(image, depth, depth_px, fov, beta, gamma, layers,
     return np.asarray(out).astype(np.uint8), np.asarray(disparity)
 
 
+_SCENE_PROGRAM = {}
+
+
+def _scene_program(*args):
+    """vmap of the per-slice program over the stack axis: the whole scene's
+    warps, disparities, layered blurs and composites run as ONE device
+    program — one H2D transfer of the image/depth instead of ``num_imgs``,
+    no host round-trip between slices."""
+    import jax
+
+    if "fn" not in _SCENE_PROGRAM:
+        _SCENE_PROGRAM["fn"] = jax.jit(
+            jax.vmap(
+                _slice_program_impl,
+                in_axes=(None, None, None, 0, 0, 0, 0, 0, 0, 0),
+            )
+        )
+    return _SCENE_PROGRAM["fn"](*args)
+
+
+def render_scene_fused(image, depth, depth_px, slice_params):
+    """Render every slice of a scene in one device program.
+
+    ``slice_params`` is a list of dicts with keys ``fov, beta, gamma, layers,
+    coc_scale, fd_px`` (one per slice).  Kernel-size and layer-count buckets
+    are taken over the whole scene so the compiled program is shared across
+    scenes.  Returns ``(imgs_u8 (S, H, W, 3) BGR, disparity (S, H, W))`` —
+    numerically identical to per-slice ``render_slice_fused`` calls (padding
+    rows have zero kernels and [inf, inf) bounds, contributing nothing).
+    """
+    import jax.numpy as jnp
+
+    s = len(slice_params)
+    all_ksizes = [
+        [2 * abs(k if k != 0 else 1) + 1 for k, _, _ in p["layers"]]
+        for p in slice_params
+    ]
+    kmax = _bucket_odd(max(max(ks) for ks in all_ksizes))
+    n_layers = _bucket(max(len(p["layers"]) for p in slice_params))
+    kernels = np.zeros((s, n_layers, kmax, kmax), dtype=np.float32)
+    bounds = np.full((s, n_layers, 2), np.inf, dtype=np.float32)
+    fovs = np.empty((s,), np.float32)
+    betas = np.empty((s,), np.float32)
+    gammas = np.empty((s,), np.float32)
+    cocs = np.empty((s,), np.float32)
+    fdpx = np.empty((s,), np.float32)
+    for j, (p, ksizes) in enumerate(zip(slice_params, all_ksizes)):
+        for i, ((_, lo, hi), ks) in enumerate(zip(p["layers"], ksizes)):
+            pad = (kmax - ks) // 2
+            kernels[j, i, pad : pad + ks, pad : pad + ks] = disc_kernel(ks)
+            bounds[j, i] = (lo, hi)
+        fovs[j], betas[j], gammas[j] = p["fov"], p["beta"], p["gamma"]
+        cocs[j], fdpx[j] = p["coc_scale"], p["fd_px"]
+    out, disparity = _scene_program(
+        jnp.asarray(image.astype(np.float32)),
+        jnp.asarray(depth.astype(np.float32)),
+        jnp.asarray(depth_px.astype(np.float32)),
+        jnp.asarray(fovs), jnp.asarray(betas), jnp.asarray(gammas),
+        jnp.asarray(kernels), jnp.asarray(bounds),
+        jnp.asarray(cocs), jnp.asarray(fdpx),
+    )
+    return np.asarray(out).astype(np.uint8), np.asarray(disparity)
+
+
 def render_focal_slice(
     image: np.ndarray,
     depth: np.ndarray,
@@ -362,8 +434,10 @@ def generate_scene(
         "min_focus_dist": min_scene_depth,
     }
 
-    imgs = []
-    disparity = np.zeros((height, width, num_imgs), dtype=np.float64)
+    # prepass: per-slice motion + CoC layers on the host, in the reference's
+    # exact RNG draw order (`:186-200`), then render the WHOLE stack as one
+    # device program (render_scene_fused) — one transfer in, one out.
+    slice_params = []
     fov = beta = gamma = None
     for num in range(num_imgs):
         focus_dist = focus_dists[num]
@@ -380,11 +454,12 @@ def generate_scene(
 
         coc_scale = lens_to_sensor * lens_dia / fd_px
         layers = coc_layers(coc_scale, focus_dist, min_scene_depth, max_scene_depth, num_planes)
-        # warp + disparity + layered blur + composite: ONE device program
-        composited, disparity[:, :, num] = render_slice_fused(
-            image, depth, depth_pixel, fov, beta, gamma, layers, coc_scale, fd_px
-        )
-        imgs.append(composited[:, :, ::-1])  # BGR -> RGB like cvtColor (`:265`)
+        slice_params.append(dict(fov=fov, beta=beta, gamma=gamma, layers=layers,
+                                 coc_scale=coc_scale, fd_px=fd_px))
+
+    stack_u8, disp_s = render_scene_fused(image, depth, depth_pixel, slice_params)
+    imgs = [stack_u8[num, :, :, ::-1] for num in range(num_imgs)]  # BGR -> RGB (`:265`)
+    disparity = disp_s.transpose(1, 2, 0).astype(np.float64)
 
     # "assume last one has smallest FOV" (`:272`)
     origin_depth = (
@@ -435,26 +510,9 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
     start = time.time()
 
-    for img_idx in range(n_scenes):
-        profile = DEVICE_PROFILES[int(rng.integers(0, len(DEVICE_PROFILES)))]
-        save_path = os.path.join(args.dataset, str(img_idx)) + "/"
-        os.makedirs(save_path, exist_ok=True)
-
-        depth = cv2.resize(depths[:, :, img_idx], (width, height))
-        depth = args.max_depth * (depth - depth.min()) / (depth.max() - depth.min())
-        depth = depth + args.min_depth
-        image = cv2.resize(images[:, :, :, img_idx].astype(np.float32), (width, height))
-        image = image[:, :, ::-1]  # RGB -> BGR, the reference pipeline's cv2 order
-
-        out = generate_scene(
-            image,
-            depth,
-            profile=profile,
-            rng=rng,
-            pixel_vs_meter=args.pixel_vs_meter,
-            num_imgs=args.num_imgs,
-            num_planes=args.num_planes,
-        )
+    def write_scene(save_path, img_idx, out):
+        # host-side PNG encode + .mat writes, overlapped with the next scene's
+        # device render (cv2.imwrite releases the GIL while encoding)
         for num, img in enumerate(out["imgs"]):
             cv2.imwrite(save_path + f"img{num}.png", img)
         if np.min(out["depth"]) == 0:
@@ -462,6 +520,36 @@ def main(argv=None):
                   "(the reference aborted here)")
         sio.savemat(save_path + "depth.mat", {"depth": out["depth"], "defocus": out["disparity"]})
         sio.savemat(save_path + "camera_param.mat", out["camera_setting"])
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        pending = []
+        for img_idx in range(n_scenes):
+            profile = DEVICE_PROFILES[int(rng.integers(0, len(DEVICE_PROFILES)))]
+            save_path = os.path.join(args.dataset, str(img_idx)) + "/"
+            os.makedirs(save_path, exist_ok=True)
+
+            depth = cv2.resize(depths[:, :, img_idx], (width, height))
+            depth = args.max_depth * (depth - depth.min()) / (depth.max() - depth.min())
+            depth = depth + args.min_depth
+            image = cv2.resize(images[:, :, :, img_idx].astype(np.float32), (width, height))
+            image = image[:, :, ::-1]  # RGB -> BGR, the reference pipeline's cv2 order
+
+            out = generate_scene(
+                image,
+                depth,
+                profile=profile,
+                rng=rng,
+                pixel_vs_meter=args.pixel_vs_meter,
+                num_imgs=args.num_imgs,
+                num_planes=args.num_planes,
+            )
+            pending.append(pool.submit(write_scene, save_path, img_idx, out))
+            while len(pending) > 4:  # bound memory; surface write errors early
+                pending.pop(0).result()
+        for f in pending:
+            f.result()
 
     n = max(n_scenes, 1)
     print("avg_time: ", (time.time() - start) / n)

@@ -180,7 +180,7 @@ def main(argv=None):
     start = time.time()
     # loss sums accumulate across print_epoch epochs, like the reference
     # (train_code_HCI.py prints/averages every 10 epochs)
-    sums = dict(total=0.0, mid=0.0, l1=0.0, l2=0.0, l3=0.0)
+    sums = dict(total=0.0, mid=0.0, l1=0.0, l2=0.0, l3=0.0, steps=0.0)
     pending_save = None
     for epoch in range(args.load_epoch, max_epoch + 1):
         if epoch % recipe.save_epoch == 0 and epoch != args.load_epoch and primary:
@@ -220,12 +220,16 @@ def main(argv=None):
             sums["l1"] += float(logs["loss1"])
             sums["l2"] += float(logs["loss2"])
             sums["l3"] += float(logs["loss3"])
+            sums["steps"] += 1.0
             steps += 1
             if args.steps_per_epoch and steps >= args.steps_per_epoch:
                 break
 
         if epoch % recipe.print_epoch == 0 and primary:
-            denom = max(num_train, 1) * recipe.print_epoch
+            # actual accumulated steps, not num_train * print_epoch — the two
+            # agree in the reference-shaped run, but --steps-per-epoch caps an
+            # epoch short and would otherwise deflate the printed average
+            denom = max(sums["steps"], 1.0)
             print("Epoch:", epoch)
             print("AVG_DFF_TotalLoss:", sums["total"] / denom)
             print("Time:", time.time() - start)
@@ -235,7 +239,7 @@ def main(argv=None):
             writer.add_scalar("Loss/train/Second/L1 loss", sums["l2"] / denom, epoch)
             writer.add_scalar("Loss/train/Third/L1 loss", sums["l3"] / denom, epoch)
             start = time.time()
-            sums = dict(total=0.0, mid=0.0, l1=0.0, l2=0.0, l3=0.0)
+            sums = dict(total=0.0, mid=0.0, l1=0.0, l2=0.0, l3=0.0, steps=0.0)
 
     if pending_save is not None:
         pending_save.wait()

@@ -379,6 +379,36 @@ def test_native_imread_matches_cv2(tmp_path):
     np.testing.assert_array_equal(native.imread(jp), cv2.imread(jp))
 
 
+def test_native_imread_punts_alpha_and_16bit_pngs(tmp_path):
+    """Alpha-channel and 16-bit PNGs decode differently under libpng's
+    simplified API than under cv2.imread (alpha composited vs dropped;
+    16->8-bit rescale differs) — the native path must return None so
+    imread_compat's cv2 fallback keeps byte parity."""
+    import cv2
+
+    from dffx.data import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(1)
+    pa = str(tmp_path / "rgba.png")
+    cv2.imwrite(pa, rng.integers(0, 256, (24, 32, 4), dtype=np.uint8))
+    assert native.imread(pa) is None
+    np.testing.assert_array_equal(native.imread_compat(pa), cv2.imread(pa))
+
+    p16 = str(tmp_path / "u16.png")
+    cv2.imwrite(p16, rng.integers(0, 65536, (24, 32, 3), dtype=np.uint16))
+    assert native.imread(p16) is None
+    np.testing.assert_array_equal(native.imread_compat(p16), cv2.imread(p16))
+
+    # 8-bit grayscale stays on the native path and keeps parity
+    pg = str(tmp_path / "gray.png")
+    cv2.imwrite(pg, rng.integers(0, 256, (24, 32), dtype=np.uint8))
+    got = native.imread(pg)
+    assert got is not None
+    np.testing.assert_array_equal(got, cv2.imread(pg))
+
+
 def test_device_prefetch_propagates_loader_errors():
     """A decode error mid-epoch must raise, not silently truncate the epoch
     (the prefetch producer runs in a daemon thread)."""
@@ -396,3 +426,30 @@ def test_device_prefetch_propagates_loader_errors():
     with pytest.raises(RuntimeError, match="decode boom"):
         for _ in device_prefetch(iter(Loader(Bad(), 2, num_threads=1))):
             pass
+
+
+def test_device_prefetch_releases_producer_on_early_exit():
+    """Abandoning the generator early (--steps-per-epoch break) must unblock
+    the producer thread — a plain buf.put would pin it (and the Loader's
+    thread pool) for the process lifetime, leaking threads per epoch."""
+    import threading
+    import time
+
+    from dffx.data import device_prefetch
+
+    done = threading.Event()
+
+    def source():
+        try:
+            for i in range(1000):
+                yield {"x": np.full((4,), i, np.float32)}
+        finally:
+            done.set()  # GeneratorExit or exhaustion — either releases us
+
+    gen = device_prefetch(source(), size=2)
+    next(gen)
+    gen.close()  # consumer walks away after one batch
+    deadline = time.monotonic() + 5.0
+    while not done.is_set() and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert done.is_set(), "producer thread still blocked after consumer exit"

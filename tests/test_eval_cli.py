@@ -86,6 +86,30 @@ def test_eval_cli_batched_matches_batch1(fs6_root, tmp_path, capsys):
         np.testing.assert_allclose(m2[k], m1[k], rtol=1e-5, err_msg=k)
 
 
+def test_eval_cli_spatial_matches_single_device(fs6_root, tmp_path, capsys):
+    """--spatial N (H sharded over a (1,N) mesh, params replicated, GSPMD
+    halos) must print the same metrics as the single-device path — the
+    multi-chip serving story of SURVEY §5, reachable from the CLI."""
+    from dffx.eval import test as T
+
+    outs = []
+    for spatial in ("1", "2"):
+        T.main([
+            "--dataset", "DefocusNet",
+            "--data-root", fs6_root + "/",
+            "--results-root", str(tmp_path / f"results_s{spatial}") + "/",
+            "--allow-random-init",
+            "--batch_size", "2",
+            "--spatial", spatial,
+        ])
+        outs.append(_parse_metrics(capsys.readouterr().out))
+    m1, m2 = outs
+    keys = [k for k in m1 if k != "AVG_time"]
+    assert keys and set(keys) == set(k for k in m2 if k != "AVG_time")
+    for k in keys:
+        np.testing.assert_allclose(m2[k], m1[k], rtol=1e-5, err_msg=k)
+
+
 @pytest.mark.skipif(not os.path.isdir(REF_SCENES), reason="no bundled scene")
 def test_real_scenes_cli(tmp_path, capsys, monkeypatch):
     """Alignment + depth CLI on a shrunken copy of the bundled balls scene

@@ -118,6 +118,36 @@ def test_render_focal_slice_matches_cv2_reference_algorithm(rng):
     assert np.median(diff) == 0
 
 
+def test_scene_fused_matches_per_slice(rng):
+    """The vmapped whole-scene program must be numerically identical to the
+    per-slice programs it batches (padding rows contribute nothing)."""
+    from dffx.sim import render_scene_fused, render_slice_fused
+
+    image = rng.uniform(0, 255, (24, 40, 3)).astype(np.float32)
+    depth = rng.uniform(0.1, 1.1, (24, 40))
+    depth_px = depth * 1e4
+    slice_params = [
+        dict(fov=1.0, beta=0.0, gamma=0.0, coc_scale=30.0, fd_px=0.4e4,
+             layers=[(0, 0.1, 0.5), (3, 0.5, 1.2)]),
+        dict(fov=1.02, beta=1.5, gamma=-0.7, coc_scale=45.0, fd_px=0.7e4,
+             layers=[(-2, 0.1, 0.4), (1, 0.4, 0.8), (6, 0.8, 1.2)]),
+        dict(fov=0.98, beta=-2.0, gamma=0.3, coc_scale=20.0, fd_px=0.9e4,
+             layers=[(-7, 0.1, 0.6), (2, 0.6, 1.2)]),
+    ]
+    imgs, disp = render_scene_fused(image, depth, depth_px, slice_params)
+    for j, p in enumerate(slice_params):
+        want_img, want_disp = render_slice_fused(
+            image, depth, depth_px, p["fov"], p["beta"], p["gamma"],
+            p["layers"], p["coc_scale"], p["fd_px"],
+        )
+        np.testing.assert_array_equal(imgs[j], want_img, err_msg=f"slice {j}")
+        # disparity: the vmapped warp batches the interpolation matmuls, so
+        # fp32 accumulation order differs from the single-slice program —
+        # values are O(1e2) px, tolerance is relative
+        np.testing.assert_allclose(disp[j], want_disp, rtol=1e-4, atol=1e-3,
+                                   err_msg=f"slice {j}")
+
+
 def test_generate_scene_end_to_end(rng):
     image = rng.uniform(0, 255, (28, 44, 3)).astype(np.float32)
     depth = rng.uniform(0.1, 1.1, (28, 44))

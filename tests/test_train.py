@@ -176,5 +176,8 @@ def test_checkpoint_roundtrip(tmp_path, batch):
     ckpt.save(path, {"step": state.step, "params": state.params, "opt_state": state.opt_state})
     blob = ckpt.load(path)
     assert int(blob["step"]) == 1
+    # 0-d leaves must round-trip as 0-d (ascontiguousarray silently promoted
+    # them to (1,) until round 3) — resume must hand back the exact shapes
+    assert np.asarray(blob["step"]).shape == ()
     for k, v in state.params.items():
         np.testing.assert_array_equal(blob["params"][k], np.asarray(v))
