@@ -104,6 +104,69 @@ def bench_dffx() -> dict:
     return results
 
 
+def bench_train() -> float:
+    """Train-step throughput (stacks/s) at the reference DDFF recipe shape
+    scaled to the serving batch: b32 bf16 224^2 fwd+bwd+Adam — the VERDICT r2
+    item-1 operating point, recorded in the bench artifact."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dffx.models import init_params, network_specs
+    from dffx.train import LossConfig, create_train_state, make_train_step
+    from dffx.utils.profiling import device_loop_time
+
+    rng = np.random.default_rng(0)
+    b, n, h, w = 32, 10, 224, 224
+    params = init_params(network_specs(), seed=0)
+    step = make_train_step(1e-4, LossConfig(), compute_dtype=jnp.bfloat16,
+                           donate=False)
+    state = create_train_state(params, lr=1e-4)
+    depth = jnp.asarray(rng.uniform(0, 1, (b, h, w)).astype(np.float32))
+    maskpx = jnp.ones((b, h, w), bool)
+    fd = jnp.asarray(np.tile(np.linspace(0, 1, n, dtype=np.float32), (b, 1)))
+    fs = jnp.asarray(rng.uniform(-1, 1, (b, n, h, w, 3)).astype(np.float16)
+                     ).astype(jnp.bfloat16)
+
+    def fn(x, st):
+        new_state, logs = step(st, {"fs": x, "depth": depth,
+                                    "focus_dists": fd, "mask": maskpx})
+        # must consume every updated param or XLA DCEs backward slices
+        psum = sum(jnp.sum(v.astype(jnp.float32))
+                   for v in new_state.params.values())
+        return {"loss": logs["loss"], "psum": psum}
+
+    per = device_loop_time(fn, fs, state, iters=4)
+    return b / per
+
+
+def bench_e2e() -> float:
+    """E2E (alignment + depth) forward latency (ms/stack) at the bundled-scene
+    shape 10x608x1088 bf16 with the fused fast paths — ROADMAP item 2."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dffx.models import Ctx, e2e_apply, e2e_network_specs, init_params
+    from dffx.utils.profiling import device_loop_time
+
+    params = init_params(e2e_network_specs(), seed=0)
+    rng = np.random.default_rng(0)
+    n, h, w = 10, 608, 1088
+    fs = jnp.asarray(rng.uniform(-1, 1, (1, n, h, w, 3)), jnp.bfloat16)
+    fovs = jnp.asarray(np.linspace(1.0, 1.02, n, dtype=np.float32)[None])
+    fd = jnp.asarray(np.linspace(0.2, 7.0, n, dtype=np.float32)[None])
+    ctx = Ctx(compute_dtype=jnp.bfloat16, use_pallas=True, use_packed=True)
+
+    def fn(x, p):
+        return e2e_apply(p, x.astype(jnp.bfloat16), fd, fovs, ctx)
+
+    try:
+        per = device_loop_time(fn, fs, params, iters=6)
+    except Exception:  # Mosaic compile-service hiccup: report the XLA path
+        ctx = Ctx(compute_dtype=jnp.bfloat16)
+        per = device_loop_time(fn, fs, params, iters=6)
+    return per * 1e3
+
+
 def bench_simulator() -> float:
     """Simulator throughput (scenes/s, warm) on a synthetic NYU-sized scene —
     records the PARITY.md §2.4 claim in a bench artifact."""
@@ -187,6 +250,16 @@ def main():
     except Exception as e:
         print(f"# simulator bench failed: {e}", file=sys.stderr)
         sim_sps = None
+    train_sps = e2e_ms = None
+    if ours["platform"] == "tpu":
+        try:
+            train_sps = round(bench_train(), 2)
+        except Exception as e:
+            print(f"# train bench failed: {e}", file=sys.stderr)
+        try:
+            e2e_ms = round(bench_e2e(), 2)
+        except Exception as e:
+            print(f"# e2e bench failed: {e}", file=sys.stderr)
     gate = run_pallas_gate() if ours["platform"] == "tpu" else {"pallas_gate": "skipped"}
     value = ours["best"]
     vs = value / base if base == base else None  # NaN-safe
@@ -199,8 +272,12 @@ def main():
                 "vs_baseline": round(vs, 2) if vs is not None else None,
                 "b1_stacks_per_sec": ours.get("b1_stacks_per_sec"),
                 "b4_stacks_per_sec": ours.get("b4_stacks_per_sec"),
+                "b4_pallas_stacks_per_sec": ours.get("b4_pallas_stacks_per_sec"),
+                "b4_xla_stacks_per_sec": ours.get("b4_xla_stacks_per_sec"),
                 "b128_stacks_per_sec": ours.get("b128_stacks_per_sec"),
                 "torch_cpu_stacks_per_sec": round(base, 4) if base == base else None,
+                "train_b32_stacks_per_sec": train_sps,
+                "e2e_ms_per_stack": e2e_ms,
                 "simulator_scenes_per_sec": sim_sps,
                 "pallas_gate": gate.get("pallas_gate"),
                 "pallas_gate_failures": gate.get("failures", [])[:5],

@@ -92,11 +92,34 @@ def _head_specs(s: SpecTable, pfx: str, c: int) -> None:
 
 
 def _head_apply(p, pfx, volume, ctx: Ctx) -> jax.Array:
-    """Returns per-slice motion ``(B, N_MOTION, 3)`` (alpha, beta, gamma)."""
-    y = relu(apply_convbn(p, f"{pfx}.0", volume, ctx, padding=(0, 1, 1)))
-    y = relu(apply_convbn(p, f"{pfx}.2", y, ctx, padding=(0, 1, 1)))
-    y = relu(apply_convbn(p, f"{pfx}.4", y, ctx, padding=(0, 1, 1)))
-    y = apply_conv(p, f"{pfx}.6", y, ctx, padding=(0, 1, 1))  # (B,N,H,W,3)
+    """Returns per-slice motion ``(B, N_MOTION, 3)`` (alpha, beta, gamma).
+
+    Eval mode on TPU (``ctx.use_pallas``): the full-resolution conv3 head —
+    the measured E2E latency tail (ROADMAP item 2) — runs as ONE fused Pallas
+    chain (4 convs, intermediates in VMEM) instead of four ~1%-MFU XLA convs.
+    """
+    if (ctx.use_pallas and not ctx.train and volume.shape[-1] == 18
+            and volume.shape[3] >= 32):
+        from dffx.ops.pallas_kernels import bn_fused_affine, motion_head_conv_chain
+
+        def aff(i):
+            q = f"{pfx}.{i}.1"
+            return bn_fused_affine(p[f"{q}.weight"], p[f"{q}.bias"],
+                                   p[f"{q}.running_mean"], p[f"{q}.running_var"])
+
+        dt = volume.dtype
+        y = motion_head_conv_chain(
+            volume,
+            p[f"{pfx}.0.0.weight"].astype(dt), aff(0),
+            p[f"{pfx}.2.0.weight"].astype(dt), aff(2),
+            p[f"{pfx}.4.0.weight"].astype(dt), aff(4),
+            p[f"{pfx}.6.weight"].astype(dt), p[f"{pfx}.6.bias"],
+        )
+    else:
+        y = relu(apply_convbn(p, f"{pfx}.0", volume, ctx, padding=(0, 1, 1)))
+        y = relu(apply_convbn(p, f"{pfx}.2", y, ctx, padding=(0, 1, 1)))
+        y = relu(apply_convbn(p, f"{pfx}.4", y, ctx, padding=(0, 1, 1)))
+        y = apply_conv(p, f"{pfx}.6", y, ctx, padding=(0, 1, 1))  # (B,N,H,W,3)
     pooled = adaptive_avg_pool_focus(y, N_MOTION)  # (B,10,1,1,3)
     return pooled[:, :, 0, 0, :]
 

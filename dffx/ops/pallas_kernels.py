@@ -318,6 +318,200 @@ def rb2d_residual_cf(xs: jax.Array, w1, aff1, w2, aff2) -> jax.Array:
     return out[:, :, :, :wd]
 
 
+# ---------------------------------------------------------------------------
+# FlowNetwork motion-head chain (`End_to_End/End_to_End.py:33-61`): four
+# stacked (1,3,3) convs — convbn+ReLU x3 then a biased conv to 3 channels —
+# at FULL resolution with 16-18 channels.  XLA lowers each conv separately at
+# ~1% MFU (tiny channel counts); this kernel runs the whole chain per row
+# tile with intermediates in VMEM: conv0 builds an exact patch matrix from
+# the halo'd input window, convs 1-3 take their kx halo from lane rolls
+# (interior chunk edges are discarded via the host splitter's 4-column
+# overlap; true-edge zero-padding is realized by masking each intermediate
+# to the real image extent, which is exactly conv-chain zero-pad semantics).
+# ---------------------------------------------------------------------------
+
+MH_H_TILE = 16
+
+
+def _motion_head_kernel(xa_ref, xb_ref, w0_ref, w1_ref, w2_ref, w3_ref,
+                        s0_ref, b0_ref, s1_ref, b1_ref, s2_ref, b2_ref,
+                        bias3_ref, o_ref, window, patches, y0, y1, *,
+                        cin: int, c: int, w_real: int, h_real: int,
+                        high_precision: bool):
+    """Grid (B*N, H tiles).  xa/xb (1, cin, T, W+8): row blocks t and t+1 of
+    the 4-row/4-col lead-padded slice; window (cin, T+8, W+8); conv_k's
+    output rows map to image row ``t*T + r - (3-k)`` and each intermediate
+    is masked to the true image extent before feeding the next conv.
+    patches (9*cin pad, T+6, W) is reused by all four dots; y0/y1 (c, ., W)
+    fp32 ping-pong.  o_ref (1, 3, T, W)."""
+    wd = o_ref.shape[3]
+    t = pl.program_id(1)
+    trows = o_ref.shape[2]
+    prec = jax.lax.Precision.HIGHEST if high_precision else None
+    k0, kc = 9 * cin, 9 * c
+    k0p = patches.shape[0]
+
+    window[:, :trows, :] = xa_ref[0].astype(window.dtype)
+    window[:, trows:, :] = xb_ref[0, :, :8, :].astype(window.dtype)
+
+    # conv0: exact halos both axes via the patch matrix
+    r0 = trows + 6
+    if k0p > k0:
+        patches[k0:, :, :] = jnp.zeros((k0p - k0, r0, wd), patches.dtype)
+    for ci in range(cin):
+        for ky in range(3):
+            for kx in range(3):
+                patches[ci * 9 + ky * 3 + kx, :, :] = window[
+                    ci, ky : ky + r0, kx + 3 : kx + 3 + wd
+                ]
+    acc = jax.lax.dot_general(
+        w0_ref[:], patches[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (c, r0, W)
+
+    def store_masked(buf, arr, rows, off):
+        # zero everything outside the true image: that IS the next conv's
+        # zero-padding (y_k is defined 0 beyond the image in the reference)
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, wd), 0) + t * trows - off
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, wd), 1)
+        valid = (row >= 0) & (row < h_real) & (col < w_real)
+        buf[:, :rows, :] = jnp.where(valid[None], arr, 0.0).astype(buf.dtype)
+
+    y = jnp.maximum(acc * s0_ref[:, 0][:, None, None]
+                    + b0_ref[:, 0][:, None, None], 0.0)
+    store_masked(y0, y, r0, 3)
+
+    def roll_conv(src, rows_in, rows_out, w_ref, kdim):
+        colm = jax.lax.broadcasted_iota(jnp.int32, (rows_in, wd), 1)
+        for ci in range(c):
+            v = src[ci, :rows_in, :]
+            vl = jnp.where(colm >= 1, pltpu.roll(v, 1, axis=1), 0.0)
+            vr = jnp.where(colm <= w_real - 2, pltpu.roll(v, wd - 1, axis=1), 0.0)
+            for ky in range(3):
+                patches[ci * 9 + ky * 3 + 0, :rows_out, :] = vl[
+                    ky : ky + rows_out, :].astype(patches.dtype)
+                patches[ci * 9 + ky * 3 + 1, :rows_out, :] = v[
+                    ky : ky + rows_out, :].astype(patches.dtype)
+                patches[ci * 9 + ky * 3 + 2, :rows_out, :] = vr[
+                    ky : ky + rows_out, :].astype(patches.dtype)
+        return jax.lax.dot_general(
+            w_ref[:], patches[:kdim, :rows_out, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    r1 = trows + 4
+    a = roll_conv(y0, r0, r1, w1_ref, kc)
+    y = jnp.maximum(a * s1_ref[:, 0][:, None, None]
+                    + b1_ref[:, 0][:, None, None], 0.0)
+    store_masked(y1, y, r1, 2)
+
+    r2 = trows + 2
+    a = roll_conv(y1, r1, r2, w2_ref, kc)
+    y = jnp.maximum(a * s2_ref[:, 0][:, None, None]
+                    + b2_ref[:, 0][:, None, None], 0.0)
+    store_masked(y0, y, r2, 1)  # ping-pong back into y0
+
+    a = roll_conv(y0, r2, trows, w3_ref, kc)  # (8, T, W), rows 3+ are zero
+    out3 = a[:3] + bias3_ref[:3, 0][:, None, None]
+    o_ref[0, :, :, :] = out3.astype(o_ref.dtype)
+
+
+def _pack_conv33_rect(w: jax.Array, kpad: int, cout_pad: int, dtype) -> jax.Array:
+    """(1,3,3,Cin,Cout) DHWIO → (kpad, cout_pad); K index ci*9 + ky*3 + kx."""
+    cin, cout = w.shape[3], w.shape[4]
+    flat = w[0].transpose(2, 0, 1, 3).reshape(9 * cin, cout)
+    wk = jnp.zeros((kpad, cout_pad), dtype)
+    return wk.at[: 9 * cin, :cout].set(flat.astype(dtype))
+
+
+def motion_head_conv_chain(x, w0, aff0, w1, aff1, w2, aff2, w3, bias3):
+    """Fused eval motion head (pre-pooling): ``conv6(relu(bn2(conv4(relu(
+    bn1(conv2(relu(bn0(conv0(x))))))))))`` with all convs (1,3,3) pad 1.
+
+    x: (B, N, H, W, cin); w0 (1,3,3,cin,c); w1/w2 (1,3,3,c,c);
+    w3 (1,3,3,c,3); aff = fp32 (scale, shift); bias3 (3,).
+    Returns (B, N, H, W, 3) in x.dtype.
+    """
+    b, n, h, wd, cin = x.shape
+    xs = x.reshape(b * n, h, wd, cin).transpose(0, 3, 1, 2)
+    out = motion_head_conv_chain_cf(xs, w0, aff0, w1, aff1, w2, aff2, w3, bias3)
+    return out.transpose(0, 2, 3, 1).reshape(b, n, h, wd, 3)
+
+
+#: widest W chunk per mid-channel count (fp32 patch scratch is (9*cin, T+6, W))
+_MH_W_CAP = {16: 256, 32: 128}
+
+
+def motion_head_conv_chain_cf(xs, w0, aff0, w1, aff1, w2, aff2, w3, bias3):
+    """Channel-first core: (BN, cin, H, W) -> (BN, 3, H, W)."""
+    bn_, cin, h, wd = xs.shape
+    c = w0.shape[4]
+    cap = _MH_W_CAP.get(c, 128)
+    if wd > cap:
+        # 4-conv chain: 4 contaminated columns per interior chunk edge
+        # (conv0's window uses zero pad instead of neighbor data, +1/conv)
+        mid = max(wd // 2 // 128, 1) * 128
+        left = motion_head_conv_chain_cf(
+            xs[..., : mid + 4], w0, aff0, w1, aff1, w2, aff2, w3, bias3
+        )[..., :mid]
+        right = motion_head_conv_chain_cf(
+            xs[..., mid - 4 :], w0, aff0, w1, aff1, w2, aff2, w3, bias3
+        )[..., 4:]
+        return jnp.concatenate([left, right], axis=-1)
+    trows = MH_H_TILE
+    hp = -(-h // trows) * trows
+    wp = -(-wd // 128) * 128
+    # rows: lead-pad 4 (chain halo), tail-pad so (Hp + T) rows = (Hp/T + 1)
+    # full blocks; cols: 4 halo each side + lane padding
+    xp = jnp.pad(xs, ((0, 0), (0, 0), (4, trows - 4 + hp - h),
+                      (4, 4 + wp - wd)))
+
+    k0p = -(-9 * cin // 8) * 8
+    kc = 9 * c
+    f32 = jnp.float32
+    kernel = functools.partial(
+        _motion_head_kernel, cin=cin, c=c, w_real=wd, h_real=h,
+        high_precision=(xs.dtype == jnp.float32),
+    )
+    row_block = (1, cin, trows, wp + 8)
+    vec = lambda a: a.reshape(-1, 1).astype(f32)  # noqa: E731
+    b3 = jnp.zeros((8, 1), f32).at[:3, 0].set(bias3.astype(f32))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bn_, 3, hp, wp), xs.dtype),
+        grid=(bn_, hp // trows),
+        in_specs=[
+            pl.BlockSpec(row_block, lambda i, t: (i, 0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(row_block, lambda i, t: (i, 0, t + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k0p, c), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc, c), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc, c), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc, 8), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec((c, 1), lambda i, t: (0, 0), memory_space=pltpu.VMEM)] * 6
+          + [pl.BlockSpec((8, 1), lambda i, t: (0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 3, trows, wp), lambda i, t: (i, 0, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((cin, trows + 8, wp + 8), f32),
+            pltpu.VMEM((k0p, trows + 6, wp), f32),
+            pltpu.VMEM((c, trows + 6, wp), f32),
+            pltpu.VMEM((c, trows + 4, wp), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bn_ * h * wd * 9 * (cin * c + 2 * c * c + c * 3),
+            bytes_accessed=xs.size * xs.dtype.itemsize * 2,
+            transcendentals=0,
+        ),
+    )(xp, xp,
+      _pack_conv33_rect(w0, k0p, c, f32), _pack_conv33_rect(w1, kc, c, f32),
+      _pack_conv33_rect(w2, kc, c, f32), _pack_conv33_rect(w3, kc, 8, f32),
+      vec(aff0[0]), vec(aff0[1]), vec(aff1[0]), vec(aff1[1]),
+      vec(aff2[0]), vec(aff2[1]), b3)
+    return out[:, :, :h, :wd]
+
+
 def _srd_attn_kernel(f_ref, wn_ref, w1_ref, o_ref, cat, *, n: int, c: int):
     """Grid (B, tiles).  f_ref/o_ref (1, N*C, T, W); wn (3C pad, C) for the
     (3,1,1) conv (K index dn*C + ci); w1 (C pad, C) for the 1x1; cat

@@ -170,3 +170,61 @@ def test_rb2d_downstream_channel_shapes(interpret_pallas, rng, c, h, w, n):
     r = conv3d(r, w2, padding=(0, 1, 1))
     ref = jnp.maximum(x + r, 0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("h,w,n", [(32, 128, 2),   # single chunk, H == one tile pair
+                                   (48, 300, 2),   # W-split with 4-col overlap + lane pad
+                                   (40, 96, 3)])   # H not a tile multiple (row tail pad)
+def test_motion_head_chain_matches_xla(interpret_pallas, rng, h, w, n):
+    """The fused 4-conv FlowNetwork motion-head chain must equal the XLA
+    conv+BN+ReLU chain exactly (same zero-pad semantics through every conv)."""
+    from dffx.ops.pallas_kernels import bn_fused_affine, motion_head_conv_chain
+
+    cin, c = 18, 16
+    x = jnp.asarray(rng.uniform(-1, 1, (1, n, h, w, cin)).astype(np.float32))
+
+    def mkw(ci, co):
+        return jnp.asarray((rng.standard_normal((1, 3, 3, ci, co)) * 0.2).astype(np.float32))
+
+    def mkbn(co):
+        g = jnp.asarray(rng.standard_normal(co).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(co).astype(np.float32))
+        mu = jnp.asarray((rng.standard_normal(co) * 0.1).astype(np.float32))
+        va = jnp.asarray((rng.random(co) + 0.5).astype(np.float32))
+        return (g, b, mu, va)
+
+    w0, w1, w2, w3 = mkw(cin, c), mkw(c, c), mkw(c, c), mkw(c, 3)
+    bn0, bn1, bn2 = mkbn(c), mkbn(c), mkbn(c)
+    bias3 = jnp.asarray(rng.standard_normal(3).astype(np.float32))
+
+    got = motion_head_conv_chain(
+        x, w0, bn_fused_affine(*bn0), w1, bn_fused_affine(*bn1),
+        w2, bn_fused_affine(*bn2), w3, bias3,
+    )
+
+    def cbnr(y, wk, bn):
+        g, b, mu, va = bn
+        return jnp.maximum(batch_norm(conv3d(y, wk, padding=(0, 1, 1)), mu, va, g, b), 0)
+
+    ref = cbnr(x, w0, bn0)
+    ref = cbnr(ref, w1, bn1)
+    ref = cbnr(ref, w2, bn2)
+    ref = conv3d(ref, w3, padding=(0, 1, 1)) + bias3
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4)
+
+
+def test_flownet_pallas_path_matches_xla(interpret_pallas, rng):
+    """Ctx(use_pallas=True) through flownet_apply (motion-head chain gated on
+    the 18-channel conv3 volume) must equal the XLA path."""
+    from dffx.models import Ctx, flownet_apply, flownet_specs
+    from dffx.models.layers import init_params
+
+    params = init_params(flownet_specs(), seed=0)
+    # N must be 10: the heads pool to N_MOTION=10 motion vectors (`:40`)
+    fs = jnp.asarray(rng.uniform(-1, 1, (1, 10, 48, 96, 3)).astype(np.float32))
+    fovs = jnp.asarray(np.linspace(1.0, 1.02, 10, dtype=np.float32)[None])
+    ref_w, ref_m = flownet_apply(params, fs, fovs, Ctx())
+    got_w, got_m = flownet_apply(params, fs, fovs, Ctx(use_pallas=True))
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(ref_m), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_w), np.asarray(ref_w), atol=1e-5)

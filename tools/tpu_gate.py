@@ -47,6 +47,7 @@ def main() -> int:
     from dffx.ops.pallas_kernels import (
         bn_fused_affine,
         fm_conv_bn_relu,
+        motion_head_conv_chain,
         rb2d_residual,
         srd_attention_residual,
     )
@@ -111,6 +112,38 @@ def main() -> int:
             except Exception as e:
                 failures.append(f"attn c{c}@{hh}x{ww}: {type(e).__name__}: {str(e)[:120]}")
             n_checks += 1
+
+    # motion-head chain at the E2E serving shapes (full-res conv3 head) —
+    # bundled-scene 608x1088, a half-res variant, and a non-tile-multiple H
+    for n, h, w in [(10, 608, 1088), (10, 304, 544), (4, 200, 352)]:
+        cin, c = 18, 16
+        xm = jnp.asarray(rng.uniform(-1, 1, (1, n, h, w, cin)), dt)
+        ws = [jnp.asarray(rng.standard_normal((1, 3, 3, ci, co)) * 0.15, dt)
+              for ci, co in [(cin, c), (c, c), (c, c), (c, 3)]]
+        bns = []
+        for _ in range(3):
+            mu2 = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+            va2 = jnp.asarray(rng.random(c) + 0.5, jnp.float32)
+            bns.append((jnp.ones(c), jnp.zeros(c), mu2, va2))
+        bias3 = jnp.asarray(rng.standard_normal(3), jnp.float32)
+        try:
+            got = jax.jit(lambda x: motion_head_conv_chain(
+                x, ws[0], bn_fused_affine(*bns[0]), ws[1], bn_fused_affine(*bns[1]),
+                ws[2], bn_fused_affine(*bns[2]), ws[3], bias3))(xm)
+
+            def ref_fn(x):
+                y = x
+                for wk, bn in zip(ws[:3], bns):
+                    y = jnp.maximum(
+                        batch_norm(conv3d(y, wk, padding=(0, 1, 1)), bn[2], bn[3],
+                                   bn[0], bn[1]), 0)
+                return conv3d(y, ws[3], padding=(0, 1, 1)) + bias3
+
+            ref = jax.jit(ref_fn)(xm)
+            _check(f"mhead@{h}x{w}", got, ref, tol, failures)
+        except Exception as e:
+            failures.append(f"mhead@{h}x{w}: {type(e).__name__}: {str(e)[:120]}")
+        n_checks += 1
 
     status = "pass" if not failures else "fail"
     print(json.dumps({"pallas_gate": status, "checks": n_checks,
