@@ -214,6 +214,58 @@ def test_motion_head_chain_matches_xla(interpret_pallas, rng, h, w, n):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4)
 
 
+def test_motion_head_chain_bf16_path(interpret_pallas, rng):
+    """bf16 inputs through the motion-head chain (fp32 scratches, non-tile
+    row count) must track the fp32 oracle at least as well as XLA's own
+    bf16 chain."""
+    from dffx.ops.pallas_kernels import bn_fused_affine, motion_head_conv_chain
+
+    cin, c, n, h, w = 18, 16, 2, 40, 160  # h not a 32-multiple: tail-pad path
+    dt = jnp.bfloat16
+    x = jnp.asarray(rng.uniform(-1, 1, (1, n, h, w, cin)).astype(np.float32), dt)
+
+    def mkw(ci, co):
+        return jnp.asarray((rng.standard_normal((1, 3, 3, ci, co)) * 0.2
+                            ).astype(np.float32), dt)
+
+    ws = [mkw(cin, c), mkw(c, c), mkw(c, c), mkw(c, 3)]
+    bns = []
+    for _ in range(3):
+        bns.append((jnp.asarray(rng.standard_normal(c).astype(np.float32)),
+                    jnp.asarray(rng.standard_normal(c).astype(np.float32)),
+                    jnp.asarray((rng.standard_normal(c) * 0.1).astype(np.float32)),
+                    jnp.asarray((rng.random(c) + 0.5).astype(np.float32))))
+    bias3 = jnp.asarray(rng.standard_normal(3).astype(np.float32))
+
+    got = motion_head_conv_chain(
+        x, ws[0], bn_fused_affine(*bns[0]), ws[1], bn_fused_affine(*bns[1]),
+        ws[2], bn_fused_affine(*bns[2]), ws[3], bias3,
+    )
+
+    def chain(xv, wdt):
+        y = xv
+        for wk, bn in zip(ws[:3], bns):
+            g, b_, mu, va = bn
+            y = jnp.maximum(
+                batch_norm(conv3d(y, wk.astype(wdt), padding=(0, 1, 1)),
+                           mu, va, g, b_), 0)
+        return conv3d(y, ws[3].astype(wdt), padding=(0, 1, 1)) + bias3.astype(wdt)
+
+    # the kernel keeps fp32 intermediates while the XLA bf16 chain rounds
+    # between convs, so elementwise equality with the bf16 ref is the wrong
+    # oracle (ReLU-threshold flips diverge); assert instead that the kernel
+    # is at least as close to the fp32 truth as XLA's own bf16 chain is
+    # (measured: pallas max-err 0.14 / mean 0.023 vs XLA bf16's 0.22 / 0.033)
+    oracle = np.asarray(chain(x.astype(jnp.float32), jnp.float32), np.float32)
+    xla_bf = np.asarray(chain(x, dt), np.float32)
+    gotf = np.asarray(got, np.float32)
+    err_pallas = np.abs(gotf - oracle)
+    err_xla = np.abs(xla_bf - oracle)
+    assert err_pallas.max() <= err_xla.max() * 1.5 + 1e-3
+    assert err_pallas.mean() <= err_xla.mean() * 1.2 + 1e-4
+    np.testing.assert_allclose(gotf, np.asarray(xla_bf), atol=0.35)
+
+
 def test_flownet_pallas_path_matches_xla(interpret_pallas, rng):
     """Ctx(use_pallas=True) through flownet_apply (motion-head chain gated on
     the 18-channel conv3 volume) must equal the XLA path."""
