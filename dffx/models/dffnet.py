@@ -28,6 +28,7 @@ from dffx.models.layers import (
     apply_convbn,
     apply_deconvbn,
     bn_spec,
+    ckpt_stage,
     conv_spec,
     convbn_spec,
     deconvbn_spec,
@@ -200,7 +201,12 @@ def dffnet_apply(
     q = lambda n: f"{prefix}.{n}"  # noqa: E731
     _, _, height, width, _ = fs.shape
 
-    fm = fm_module_apply(p, q("FM_measure"), fs, ctx)  # 8ch @ 1/1
+    # under ctx.remat the full-resolution stages (FM module, the deconv_3 →
+    # dres4 → classif3 tail, the soft-argmax heads) recompute their internals
+    # in the backward — see layers.ckpt_stage for the measured rationale
+    fm = ckpt_stage(
+        ctx, lambda c, pp, xs: fm_module_apply(pp, q("FM_measure"), xs, c), p, fs
+    )  # 8ch @ 1/1
     if ctx.use_packed and not ctx.train:
         # packed (s2d) downsampling: the strided conv reads the half-res
         # lattice at 4x channels; the maxpool is an exact phase max
@@ -211,29 +217,51 @@ def dffnet_apply(
         e2 = packed_efd_apply(p, q("FM_conv2.0"), pack(half), ctx)
         quad = srd_apply(p, q("FM_conv2.1"), e2, ctx)
     else:
-        half = srd_apply(p, q("FM_conv1.1"), efd_apply(p, q("FM_conv1.0"), fm, ctx), ctx)
-        quad = srd_apply(p, q("FM_conv2.1"), efd_apply(p, q("FM_conv2.0"), half, ctx), ctx)
 
-    vol = hourglassup_apply(p, q("SPP_module"), quad, ctx)  # 32ch @ 1/8
+        def _stage1(c, pp, fm):
+            return srd_apply(pp, q("FM_conv1.1"), efd_apply(pp, q("FM_conv1.0"), fm, c), c)
 
-    conf = relu(apply_convbn(p, q("confidence.0"), vol, ctx, padding=1))
-    conf = apply_conv(p, q("confidence.2"), conf, ctx, padding=1)[..., 0]  # (B,N,h8,w8)
-    mid_cost = upsample_bilinear(conf, (height, width))
-    mid_out = softplus_argmax(mid_cost, focus_dists)  # D1
+        def _stage2(c, pp, half):
+            return srd_apply(pp, q("FM_conv2.1"), efd_apply(pp, q("FM_conv2.0"), half, c), c)
 
-    x = relu(apply_convbn(p, q("dres0.0"), vol, ctx, padding=1))
-    x = relu(apply_convbn(p, q("dres0.2"), x, ctx, padding=1))
+        half = ckpt_stage(ctx, _stage1, p, fm)
+        quad = ckpt_stage(ctx, _stage2, p, half)
 
-    x = apply_deconvbn(p, q("deconv_1"), x, ctx)  # 32ch @ 1/4
+    vol = ckpt_stage(
+        ctx, lambda c, pp, x: hourglassup_apply(pp, q("SPP_module"), x, c), p, quad
+    )  # 32ch @ 1/8
 
-    out, pre = hourglass_apply(p, q("dres2"), jnp.concatenate([x, quad], -1), None, None, ctx)
+    def _conf(c, pp, vol):
+        y = relu(apply_convbn(pp, q("confidence.0"), vol, c, padding=1))
+        return apply_conv(pp, q("confidence.2"), y, c, padding=1)[..., 0]
+
+    conf = ckpt_stage(ctx, _conf, p, vol)  # (B,N,h8,w8)
+    mid_out = ckpt_stage(
+        ctx,
+        lambda c, cost, fd: softplus_argmax(upsample_bilinear(cost, (height, width)), fd),
+        conf, focus_dists,
+    )  # D1
+
+    def _dres0(c, pp, vol):
+        x = relu(apply_convbn(pp, q("dres0.0"), vol, c, padding=1))
+        x = relu(apply_convbn(pp, q("dres0.2"), x, c, padding=1))
+        return apply_deconvbn(pp, q("deconv_1"), x, c)
+
+    x = ckpt_stage(ctx, _dres0, p, vol)  # 32ch @ 1/4
+
+    def _dres2(c, pp, x, quad):
+        return hourglass_apply(pp, q("dres2"), jnp.concatenate([x, quad], -1), None, None, c)
+
+    out, pre = ckpt_stage(ctx, _dres2, p, x, quad)
     out_in = x + out
     cost1 = apply_conv(p, q("classif1.0"), out_in, ctx)[..., 0]
 
-    out2 = apply_deconvbn(p, q("deconv_2"), out_in, ctx)  # 16ch @ 1/2
-    out, pre = hourglass_apply(
-        p, q("dres3"), jnp.concatenate([out2, half], -1), pre, out, ctx
-    )
+    def _dres3(c, pp, out_in, half, pre, out):
+        out2 = apply_deconvbn(pp, q("deconv_2"), out_in, c)  # 16ch @ 1/2
+        o, pr = hourglass_apply(pp, q("dres3"), jnp.concatenate([out2, half], -1), pre, out, c)
+        return out2, o, pr
+
+    out2, out, pre = ckpt_stage(ctx, _dres3, p, out_in, half, pre, out)
     out_in = out2 + out
     cost2 = apply_conv(p, q("classif2.0"), out_in, ctx)[..., 0]
 
@@ -249,14 +277,22 @@ def dffnet_apply(
             p, q, ("deconv_3", "dres4", "classif3.0"), out_in, fm, pre, out,
             ctx)
     else:
-        out2 = apply_deconvbn(p, q("deconv_3"), out_in, ctx)  # 8ch @ 1/1
-        out, _ = hourglass_apply(
-            p, q("dres4"), jnp.concatenate([out2, fm], -1), pre, out, ctx
-        )
-        out = out2 + out
-        cost3 = apply_conv(p, q("classif3.0"), out, ctx)[..., 0]
 
-    pred1 = softplus_argmax(upsample_bilinear(cost1, (height, width)), focus_dists)  # D2
-    pred2 = softplus_argmax(upsample_bilinear(cost2, (height, width)), focus_dists)  # D3
-    pred3 = softplus_argmax(cost3, focus_dists)  # D4 (already full res)
+        def _tail(c, pp, out_in, fm, pre, out):
+            out2 = apply_deconvbn(pp, q("deconv_3"), out_in, c)  # 8ch @ 1/1
+            o, _ = hourglass_apply(
+                pp, q("dres4"), jnp.concatenate([out2, fm], -1), pre, out, c
+            )
+            return apply_conv(pp, q("classif3.0"), out2 + o, c)[..., 0]
+
+        cost3 = ckpt_stage(ctx, _tail, p, out_in, fm, pre, out)
+
+    def _head(c, cost, fd):
+        return softplus_argmax(upsample_bilinear(cost, (height, width)), fd)
+
+    pred1 = ckpt_stage(ctx, _head, cost1, focus_dists)  # D2
+    pred2 = ckpt_stage(ctx, _head, cost2, focus_dists)  # D3
+    pred3 = ckpt_stage(
+        ctx, lambda c, cost, fd: softplus_argmax(cost, fd), cost3, focus_dists
+    )  # D4 (already full res)
     return mid_out, pred1, pred2, pred3

@@ -141,10 +141,43 @@ class Ctx:
     compute_dtype: Any = jnp.float32
     use_pallas: bool = False  # fused TPU kernels for the full-res hot stages (eval)
     use_packed: bool = False  # exact space-to-depth eval of the full-res tail
+    remat: bool = False  # recompute full-res stage internals in the backward
 
 
 def relu(x: jax.Array) -> jax.Array:
     return jnp.maximum(x, 0)
+
+
+def ckpt_stage(ctx: Ctx, fn, *args):
+    """``jax.checkpoint`` around one model stage.
+
+    With ``ctx.remat`` the stage's internal activations are recomputed from the
+    stage *inputs* during the backward pass instead of living in HBM between
+    forward and backward.  Targeted at the full-resolution stages, whose saved
+    activations (257 MB each at b32 224^2 x 10 slices, bf16) otherwise push the
+    b32 train step past v5e's 16 GiB and trigger XLA's blind auto-remat /
+    buffer-compression spills (trace: ``remat_uncompressed`` copies, 46% of
+    device time in copies — tools/profile_trace.py).
+
+    BN new-stats produced inside the stage are routed out as explicit
+    checkpoint outputs and merged back into ``ctx.new_stats`` — a side-effect
+    dict write cannot cross a ``jax.checkpoint`` boundary (the inner tracers
+    would escape).  ``fn`` receives ``(inner_ctx, *args)`` and must take every
+    traced input (including params) as an explicit argument, not a closure,
+    so gradients flow through the checkpoint correctly.
+    """
+    if not ctx.remat:
+        return fn(ctx, *args)
+
+    def inner(*a):
+        sub: Optional[Dict[str, jax.Array]] = {} if ctx.new_stats is not None else None
+        ictx = dataclasses.replace(ctx, new_stats=sub, remat=False)
+        return fn(ictx, *a), sub
+
+    out, sub = jax.checkpoint(inner)(*args)
+    if sub:
+        ctx.new_stats.update(sub)
+    return out
 
 
 def apply_bn(p: Dict[str, jax.Array], pfx: str, x: jax.Array, ctx: Ctx) -> jax.Array:

@@ -102,6 +102,11 @@ def main(argv=None):
                         help="BatchNorm semantics under data parallelism: "
                              "'sync' (global-batch stats) or 'per_shard' "
                              "(nn.DataParallel-faithful per-replica stats)")
+    parser.add_argument("--remat", action="store_true",
+                        help="recompute stage activations in the backward "
+                             "(selective jax.checkpoint) — required for "
+                             "batch>=48 per chip at the 224^2 crop; measured "
+                             "3.3x train throughput at b128 vs b32 plain")
     parser.add_argument("--coordinator", default=None, type=str,
                         help="multi-host: coordinator address host:port "
                              "(or DFFX_COORDINATOR env)")
@@ -165,7 +170,8 @@ def main(argv=None):
         )
 
     step_fn = make_train_step(args.lr, recipe.loss, e2e=recipe.e2e,
-                              bn_mode=args.bn_mode, mesh=mesh)
+                              bn_mode=args.bn_mode, mesh=mesh,
+                              remat=args.remat)
     eval_fn = make_eval_fn(e2e=recipe.e2e)
     sharding = batch_sharding(mesh)
 

@@ -152,11 +152,17 @@ def make_train_step(
     ``fs (B,N,H,W,3)``, ``depth (B,H,W)``, ``focus_dists (B,N)``,
     ``mask (B,H,W)`` and optionally ``conf`` / ``fovs``.
 
-    ``remat=True`` wraps the forward in ``jax.checkpoint`` (dot-saveable
-    policy): the full-resolution activations (FM_result is 8ch x N x H x W and
-    is concatenated late — SURVEY.md §7 hard part 5) are recomputed in the
-    backward pass instead of living in HBM, trading ~30% FLOPs for the memory
-    that large crops / big batches need.
+    ``remat=True`` turns on *selective* stage rematerialization
+    (``Ctx.remat`` → ``layers.ckpt_stage``): the full-resolution stages — the
+    FM module, the deconv_3 → dres4 → classif3 tail, and the four soft-argmax
+    heads — recompute their internals in the backward instead of saving them
+    (257 MB per full-res tensor at b32 224^2, bf16).  At b32 the step
+    otherwise sits at 15.4 GiB temp and XLA spills via blind auto-remat /
+    buffer compression (measured: 46% of device time in copies); selective
+    remat removes that tax and unlocks larger per-chip batches.  (A
+    whole-forward ``jax.checkpoint`` with the dots-saveable policy was
+    measured at -23% throughput — conv outputs aren't dots, so it recomputed
+    everything.)
 
     ``bn_mode`` selects the BatchNorm-under-data-parallelism semantics:
 
@@ -177,17 +183,13 @@ def make_train_step(
 
     def forward(params, fs, batch):
         new_stats: Dict[str, jax.Array] = {}
-        ctx = Ctx(train=True, new_stats=new_stats, compute_dtype=compute_dtype)
+        ctx = Ctx(train=True, new_stats=new_stats, compute_dtype=compute_dtype,
+                  remat=remat)
         if e2e:
             outs = e2e_apply(params, fs, batch["focus_dists"], batch["fovs"], ctx)
         else:
             outs = dffnet_apply(params, fs, batch["focus_dists"], ctx)
         return tuple(o.astype(jnp.float32) for o in outs[:4]), new_stats
-
-    if remat:
-        forward = jax.checkpoint(
-            forward, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-        )
 
     def loss_fn(trainables, stats, batch, axis_name=None):
         params = {**trainables, **stats}

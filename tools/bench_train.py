@@ -26,8 +26,12 @@ def main():
     n, h, w = 10, 224, 224
     params = init_params(network_specs(), seed=0)
 
+    # batch>=64 requires remat=True (b48 plain fails to compile at 16 GiB);
+    # measured r3: b32 plain 55 stacks/s, b64+remat 93, b128+remat 182 —
+    # stage remat frees the activation HBM that batch-scaling the MXU needs
     for batch, dtype, remat in [(4, jnp.float32, False), (4, jnp.bfloat16, False),
-                                (32, jnp.bfloat16, False), (32, jnp.bfloat16, True)]:
+                                (32, jnp.bfloat16, False), (32, jnp.bfloat16, True),
+                                (64, jnp.bfloat16, True), (128, jnp.bfloat16, True)]:
         bdata = {
             "fs": jnp.asarray(rng.uniform(-1, 1, (batch, n, h, w, 3)).astype(np.float32)),
             "depth": jnp.asarray(rng.uniform(0, 1, (batch, h, w)).astype(np.float32)),
