@@ -25,6 +25,7 @@ from dffx.models.layers import (
     apply_conv,
     apply_convbn,
     bn_spec,
+    ckpt_stage,
     conv_spec,
     convbn_spec,
     relu,
@@ -172,31 +173,41 @@ def flownet_apply(
     q = lambda n: f"{prefix}.{n}"  # noqa: E731
     b, n = fs.shape[0], fs.shape[1]
 
-    fe1 = _rb_of_apply(p, q("OF_feature.1"), _rb_of_apply(p, q("OF_feature.0"), fs, ctx), ctx)
-    fe2 = _rb_of_apply(
-        p, q("OF_feature1.1"), _rb_of_apply(p, q("OF_feature1.0"), fe1, ctx, stride=2), ctx
-    )
-    fe3 = _rb_of_apply(
-        p, q("OF_feature2.1"), _rb_of_apply(p, q("OF_feature2.0"), fe2, ctx, stride=2), ctx
-    )
+    # under ctx.remat each pyramid level and each warp+motion-volume+head
+    # block recomputes its internals in the backward (layers.ckpt_stage) —
+    # the head blocks are ideal checkpoints: full-res 34-channel internals
+    # reduce to a (B, 10, 3) motion output
+    def _pyr(names, stride):
+        def f(c, pp, x):
+            return _rb_of_apply(
+                pp, q(names[1]), _rb_of_apply(pp, q(names[0]), x, c, stride=stride), c
+            )
+        return f
+
+    fe1 = ckpt_stage(ctx, _pyr(("OF_feature.0", "OF_feature.1"), 1), p, fs)
+    fe2 = ckpt_stage(ctx, _pyr(("OF_feature1.0", "OF_feature1.1"), 2), p, fe1)
+    fe3 = ckpt_stage(ctx, _pyr(("OF_feature2.0", "OF_feature2.1"), 2), p, fe2)
+
+    def _warp_head(head):
+        def f(c, pp, feat, alpha, beta, gamma):
+            feat_w, flow = affine_warp_stack(feat, alpha, beta, gamma)
+            d = _head_apply(pp, q(head), _motion_volume(feat_w, flow), c)
+            return d.at[:, :, 0].multiply(ALPHA_DAMPING)
+        return f
 
     zeros = jnp.zeros((b, n), dtype=jnp.float32)
-    fe3_w, flow = affine_warp_stack(fe3, fovs, zeros, zeros)
-    motion = _head_apply(p, q("conv1"), _motion_volume(fe3_w, flow), ctx)
-    motion = motion.at[:, :, 0].multiply(ALPHA_DAMPING)
+    motion = ckpt_stage(ctx, _warp_head("conv1"), p, fe3, fovs, zeros, zeros)
 
-    fe2_w, flow = affine_warp_stack(
-        fe2, motion[:, :, 0] + fovs, motion[:, :, 1], motion[:, :, 2]
+    delta = ckpt_stage(
+        ctx, _warp_head("conv2"), p, fe2,
+        motion[:, :, 0] + fovs, motion[:, :, 1], motion[:, :, 2]
     )
-    delta = _head_apply(p, q("conv2"), _motion_volume(fe2_w, flow), ctx)
-    delta = delta.at[:, :, 0].multiply(ALPHA_DAMPING)
     motion = motion + delta
 
-    fe1_w, flow = affine_warp_stack(
-        fe1, motion[:, :, 0] + fovs, motion[:, :, 1], motion[:, :, 2]
+    delta = ckpt_stage(
+        ctx, _warp_head("conv3"), p, fe1,
+        motion[:, :, 0] + fovs, motion[:, :, 1], motion[:, :, 2]
     )
-    delta = _head_apply(p, q("conv3"), _motion_volume(fe1_w, flow), ctx)
-    delta = delta.at[:, :, 0].multiply(ALPHA_DAMPING)
     motion = motion + delta
 
     warped, _ = affine_warp_stack(

@@ -67,6 +67,32 @@ def test_remat_step_matches_plain(batch):
     np.testing.assert_allclose(float(logs_a["loss"]), float(logs_b["loss"]), rtol=1e-6)
 
 
+def test_e2e_remat_step_matches_plain():
+    """Selective stage remat through flownet (pyramid + warp-head checkpoints)
+    must be numerically identical to the plain e2e step."""
+    rng = np.random.default_rng(2)
+    b, n, h, w = 1, 10, 32, 32
+    e2e_batch = {
+        "fs": jnp.asarray(rng.uniform(-1, 1, (b, n, h, w, 3)).astype(np.float32)),
+        "depth": jnp.asarray(rng.uniform(0.1, 1.5, (b, h, w)).astype(np.float32)),
+        "focus_dists": jnp.asarray(
+            np.tile(np.linspace(0.1, 1.5, n, dtype=np.float32), (b, 1))
+        ),
+        "mask": jnp.ones((b, h, w), bool),
+        "fovs": jnp.asarray(np.tile(np.linspace(1.0, 1.02, n, dtype=np.float32), (b, 1))),
+    }
+    plain = make_train_step(1e-3, LossConfig(), e2e=True, donate=False)
+    remat = make_train_step(1e-3, LossConfig(), e2e=True, donate=False, remat=True)
+    sa, logs_a = plain(create_train_state(init_params(e2e_network_specs(), seed=0),
+                                          lr=1e-3), e2e_batch)
+    sb, logs_b = remat(create_train_state(init_params(e2e_network_specs(), seed=0),
+                                          lr=1e-3), e2e_batch)
+    np.testing.assert_allclose(float(logs_a["loss"]), float(logs_b["loss"]), rtol=1e-6)
+    key = "optical_flow_aggregation.conv1.6.weight"
+    np.testing.assert_allclose(np.asarray(sb.params[key]), np.asarray(sa.params[key]),
+                               atol=1e-6)
+
+
 def test_e2e_train_step_runs_and_updates_alignment():
     params = init_params(e2e_network_specs(), seed=0)
     state = create_train_state(params, lr=1e-3)

@@ -35,6 +35,9 @@ def _check(name, got, ref, tol, failures):
     ok = bool(err < tol)
     if not ok:
         failures.append(f"{name}: rel err {err:.2e} >= {tol}")
+    # progress to stderr so a hung remote compile is attributable to a check
+    print(f"[gate] {name}: {'ok' if ok else f'FAIL {err:.2e}'}",
+          file=sys.stderr, flush=True)
     return ok
 
 
@@ -79,6 +82,7 @@ def main() -> int:
             _check(f"fm@{h}x{w}", got, ref, tol, failures)
         except Exception as e:  # Mosaic compile failure IS a gate failure
             failures.append(f"fm@{h}x{w}: {type(e).__name__}: {str(e)[:120]}")
+            print(f"[gate] fm@{h}x{w}: EXC {type(e).__name__}", file=sys.stderr, flush=True)
         n_checks += 1
 
         for c, hh, ww in [(8, h, w), (16, h // 2, w // 2), (32, h // 4, w // 4)]:
@@ -98,6 +102,7 @@ def main() -> int:
                 _check(f"rb2d c{c}@{hh}x{ww}", got, ref, tol, failures)
             except Exception as e:
                 failures.append(f"rb2d c{c}@{hh}x{ww}: {type(e).__name__}: {str(e)[:120]}")
+                print(f"[gate] rb2d c{c}@{hh}x{ww}: EXC {type(e).__name__}", file=sys.stderr, flush=True)
             n_checks += 1
 
             wn = jnp.asarray(rng.standard_normal((3, 1, 1, c, c)) * 0.1, dt)
@@ -111,6 +116,7 @@ def main() -> int:
                 _check(f"attn c{c}@{hh}x{ww}", got, ref, tol, failures)
             except Exception as e:
                 failures.append(f"attn c{c}@{hh}x{ww}: {type(e).__name__}: {str(e)[:120]}")
+                print(f"[gate] attn c{c}@{hh}x{ww}: EXC {type(e).__name__}", file=sys.stderr, flush=True)
             n_checks += 1
 
     # motion-head chain at the E2E serving shapes (full-res conv3 head) —
@@ -143,6 +149,7 @@ def main() -> int:
             _check(f"mhead@{h}x{w}", got, ref, tol, failures)
         except Exception as e:
             failures.append(f"mhead@{h}x{w}: {type(e).__name__}: {str(e)[:120]}")
+            print(f"[gate] mhead@{h}x{w}: EXC {type(e).__name__}", file=sys.stderr, flush=True)
         n_checks += 1
 
     status = "pass" if not failures else "fail"
