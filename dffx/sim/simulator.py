@@ -308,8 +308,11 @@ def render_scene_fused(image, depth, depth_px, slice_params):
     coc_scale, fd_px`` (one per slice).  Kernel-size and layer-count buckets
     are taken over the whole scene so the compiled program is shared across
     scenes.  Returns ``(imgs_u8 (S, H, W, 3) BGR, disparity (S, H, W))`` —
-    numerically identical to per-slice ``render_slice_fused`` calls (padding
-    rows have zero kernels and [inf, inf) bounds, contributing nothing).
+    equivalent to per-slice ``render_slice_fused`` calls up to fp32
+    accumulation order (the vmapped warp reassociates sums; the equivalence
+    test asserts rtol=1e-4 on disparity, and uint8 bytes can flip on
+    floor()-boundary ties).  Padding rows have zero kernels and [inf, inf)
+    bounds, contributing nothing.
     """
     import jax.numpy as jnp
 
