@@ -47,7 +47,20 @@ class Seeds:
 
 
 def image_augmentation(x: np.ndarray, contrast: float, brightness: float, gamma: float) -> np.ndarray:
-    """Photometric jitter: uint8-range input → [-1, 1] output (`augmentation.py:4-15`)."""
+    """Photometric jitter: uint8-range input → [-1, 1] output (`augmentation.py:4-15`).
+
+    A ``uint8`` input takes only 256 values, so the elementwise chain is
+    precomputed as a float32 LUT and applied as one gather — bit-identical to
+    running the float32 chain on the cast array (same scalar float32 ops per
+    value), and it removes the ``np.power`` over every pixel that otherwise
+    dominates host-side loader time.  Float inputs take the original path
+    unchanged (some loaders are float64 for reference parity)."""
+    if x.dtype == np.uint8:
+        return _photometric(np.arange(256, dtype=np.float32), contrast, brightness, gamma)[x]
+    return _photometric(x, contrast, brightness, gamma)
+
+
+def _photometric(x, contrast: float, brightness: float, gamma: float):
     x = x / 255.0
     x = (0.5 + contrast * (x - 0.5)) + brightness
     x = np.clip(x, 0.0, 1.0)

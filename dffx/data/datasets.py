@@ -19,7 +19,7 @@ Everything is host-side numpy; the TPU never sees a file format.
 from __future__ import annotations
 
 import os
-from typing import Dict, List
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -134,7 +134,8 @@ class HCIDataset:
         return self.hdf5[self.stack_key].shape[0]
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        fs = np.asarray(self.hdf5[self.stack_key][idx], dtype=np.float32)  # (N,H,W,3)
+        # uint8 into the augmentation → LUT fast path (bit-identical, no pow)
+        fs = np.asarray(self.hdf5[self.stack_key][idx])  # (N,H,W,3) uint8
         gt = np.asarray(self.hdf5[self.disp_key][idx], dtype=np.float32)
         stack = fs.transpose(1, 2, 3, 0)  # (H, W, 3, N)
 
@@ -144,7 +145,7 @@ class HCIDataset:
             s = aug.Seeds.draw(self.rng, crop_interval=interval)
             stack, gt = aug.apply_standard(stack, gt, s, crop_interval=interval)
         else:
-            stack = stack / 127.5 - 1.0
+            stack = stack.astype(np.float32) / 127.5 - 1.0
             gt = gt.copy()
             gt[gt < self.min_dist] = -3.0
             gt[gt > self.max_dist] = -3.0
@@ -203,13 +204,25 @@ class DDFFBenchmark:
 
 class DDFFTrainval:
     """DDFF trainval h5 reader; GT and focus_dists normalized to [0, 1] over the
-    disparity range (`train_Dataloader.py:31-80`)."""
+    disparity range (`train_Dataloader.py:31-80`).
+
+    Train samples are random-cropped to ``crop`` AFTER augmentation.  The
+    reference omits this crop but clearly intended it (the dead
+    ``H,W=(224,224)`` line, `train_Dataloader.py:73`): its rot90 augmentation
+    swaps H/W per sample, so `train_code_DDFF.py:69`'s batch-4 DataLoader
+    crashes in collate on any real (non-square) stack mix — a reference bug,
+    fixed here the way every other reference recipe already works (HCI crops
+    256^2, Smartphone/FlyingThings crop in-loader).  A fixed crop also gives
+    XLA one static train shape instead of two orientations.  ``crop=None``
+    restores the reference's literal full-frame behaviour (batch 1 only).
+    """
 
     def __init__(
         self,
         h5_path: str = "Datasets/DDFF/ddff-dataset-trainval.h5",
         split: str = "train",
         seed: int = 0,
+        crop: Optional[Tuple[int, int]] = (224, 224),
     ):
         import h5py
 
@@ -221,21 +234,31 @@ class DDFFTrainval:
         self.min_dist = float(fd.min())
         self.max_dist = float(fd.max())
         self.focus_dists = (fd - self.min_dist) / (self.max_dist - self.min_dist)
+        self.crop = crop
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
         return self.hdf5[self.stack_key].shape[0]
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        fs = np.asarray(self.hdf5[self.stack_key][idx], dtype=np.float32)  # (N,H,W,3)
+        # kept uint8 into the augmentation: image_augmentation's LUT fast path
+        # is bit-identical to the float32 chain and skips the per-pixel pow
+        fs = np.asarray(self.hdf5[self.stack_key][idx])  # (N,H,W,3) uint8
         gt = np.asarray(self.hdf5[self.disp_key][idx], dtype=np.float32)
         if gt.ndim == 3:
             gt = gt[..., 0] if gt.shape[-1] == 1 else gt[0]
         if self.split == "train":
             s = aug.Seeds.draw(self.rng)
             fs, gt = aug.ddff_apply(fs, gt, s)
+            if self.crop is not None:
+                ch, cw = self.crop
+                h, w = gt.shape  # post-rot90 orientation
+                y = int(self.rng.integers(0, h - ch + 1))
+                x = int(self.rng.integers(0, w - cw + 1))
+                fs = fs[:, y : y + ch, x : x + cw]
+                gt = gt[y : y + ch, x : x + cw]
         else:
-            fs = fs / 127.5 - 1.0
+            fs = fs.astype(np.float32) / 127.5 - 1.0
         mask = gt != 0.0
         gt = (gt - self.min_dist) / (self.max_dist - self.min_dist)
         return {
@@ -309,11 +332,9 @@ class SmartphoneDataset:
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         cv2 = _cv2()
         my, mx = self.MARGINS
-        imgs = [
-            native.imread_compat(p).astype(np.float32)[my:-my, mx:-mx]
-            for p in self.stacks[idx]
-        ]
-        stack = np.stack(imgs, axis=-1)  # (H,W,3,N)
+        # uint8 into the augmentation → LUT fast path (bit-identical, no pow)
+        imgs = [native.imread_compat(p)[my:-my, mx:-mx] for p in self.stacks[idx]]
+        stack = np.stack(imgs, axis=-1)  # (H,W,3,N) uint8
 
         gt = cv2.imread(self.depths[idx], cv2.IMREAD_UNCHANGED).astype(np.float32)[
             my:-my, mx:-mx
@@ -331,7 +352,7 @@ class SmartphoneDataset:
             stack, gt, conf = aug.apply_with_conf(stack, gt, conf, s, crop_interval=interval)
             pad_value = 0.0  # reference train pads with zeros (train_Dataloader.py:373)
         else:
-            stack = stack / 127.5 - 1.0
+            stack = stack.astype(np.float32) / 127.5 - 1.0
             pad_value = -1.0
         gt = gt.copy()
         gt[gt < self.MIN_DEPTH] = 0.0

@@ -71,6 +71,14 @@ def test_augmentation_parity(rng):
     want = ref_aug.image_augmentation(x, 1.3, -0.05, 1.7)
     np.testing.assert_allclose(got, want, rtol=1e-12)
 
+    # the uint8 LUT fast path must be BIT-identical to casting first and
+    # running the float32 chain (it is the same float32 ops per value)
+    xu = rng.integers(0, 256, (16, 18, 3, 5), dtype=np.uint8)
+    fast = aug.image_augmentation(xu, 1.3, -0.05, 1.7)
+    slow = aug.image_augmentation(xu.astype(np.float32), 1.3, -0.05, 1.7)
+    assert fast.dtype == np.float32
+    np.testing.assert_array_equal(fast, slow)
+
     for rv in (0.2, 0.9):
         gx, gd = aug.horizontal_flip(x.copy(), d.copy(), rv)
         wx, wd = ref_aug.horizontal_flip(x.copy(), d.copy(), rv)
@@ -212,6 +220,41 @@ def test_hci_val_parity(hci_h5):
     np.testing.assert_allclose(o["fs"], np.asarray(r_fs).transpose(1, 2, 3, 0), atol=1e-6)
     np.testing.assert_allclose(o["depth"], np.asarray(r_gt))
     np.testing.assert_array_equal(o["mask"], np.asarray(r_mask))
+
+
+def test_ddff_trainval_crop_makes_rot90_batches_collatable(tmp_path):
+    """The reference's rot90 augmentation swaps H/W per sample, so its batch-4
+    DataLoader crashes in collate on non-square DDFF stacks
+    (`train_codes/train_Dataloader.py:59-73` — note the dead H,W=(224,224)
+    line; `train_code_DDFF.py:69`).  The in-loader crop fixes it."""
+    import h5py
+
+    from dffx.data import DDFFTrainval, Loader
+
+    path = str(tmp_path / "ddff-trainval.h5")
+    r = np.random.default_rng(7)
+    with h5py.File(path, "w") as f:
+        # non-square, like the real 383x552 stacks (scaled down)
+        f["stack_train"] = r.integers(0, 256, (8, 10, 48, 72, 3), dtype=np.uint8)
+        f["disp_train"] = r.uniform(0.02, 0.28, (8, 48, 72)).astype(np.float32)
+
+    ds = DDFFTrainval(h5_path=path, split="train", seed=0, crop=(32, 32))
+    seen_rot = False
+    for i in range(8):
+        s = ds[i]
+        assert s["fs"].shape == (10, 32, 32, 3)
+        assert s["depth"].shape == (32, 32)
+    # the crop must not have disabled the rot90 aug: different seeds still
+    # produce different orientations pre-crop (observable via full-frame mode)
+    full = DDFFTrainval(h5_path=path, split="train", seed=0, crop=None)
+    shapes = {full[i]["depth"].shape for i in range(8)}
+    seen_rot = len(shapes) > 1
+    assert seen_rot, shapes
+
+    # batch > 1 must collate (this is exactly where the reference crashes)
+    loader = Loader(ds, batch_size=4, shuffle=True, drop_last=True, num_threads=2)
+    batches = list(loader)
+    assert all(b["fs"].shape == (4, 10, 32, 32, 3) for b in batches)
 
 
 @pytest.fixture(scope="module")
