@@ -95,13 +95,21 @@ def randcrop_3d(x, depth, x_seed, y_seed, interval_x, interval_y):
 
 
 def apply_standard(x, depth, s: Seeds, *, crop_interval=None):
-    """The shared train pipeline: [randcrop] + photometric + flips + rot90."""
+    """The shared train pipeline: [randcrop] + photometric + flips + rot90.
+
+    For uint8 input the photometric LUT runs AFTER the flips/rot90 — a gather
+    commutes bitwise with permutations, and flipping/rotating 1-byte pixels
+    quarters the copy traffic that dominates host loader time."""
     if crop_interval is not None:
         x, depth = randcrop_3d(x, depth, s.x_crop, s.y_crop, crop_interval[1], crop_interval[0])
-    x = image_augmentation(x, s.contrast, s.brightness, s.gamma)
+    u8 = x.dtype == np.uint8
+    if not u8:
+        x = image_augmentation(x, s.contrast, s.brightness, s.gamma)
     x, depth = horizontal_flip(x, depth, s.flip_x)
     x, depth = vertical_flip(x, depth, s.flip_y)
     x, depth = rotate(x, depth, s.angle)
+    if u8:
+        x = image_augmentation(x, s.contrast, s.brightness, s.gamma)
     return x, depth
 
 
@@ -111,7 +119,9 @@ def apply_with_conf(x, depth, conf, s: Seeds, *, crop_interval=None):
         x = x[s.y_crop : s.y_crop - crop_interval[0], s.x_crop : s.x_crop - crop_interval[1]]
         depth = depth[s.y_crop : s.y_crop - crop_interval[0], s.x_crop : s.x_crop - crop_interval[1]]
         conf = conf[s.y_crop : s.y_crop - crop_interval[0], s.x_crop : s.x_crop - crop_interval[1]]
-    x = image_augmentation(x, s.contrast, s.brightness, s.gamma)
+    u8 = x.dtype == np.uint8  # LUT after the permutations (bitwise-commuting)
+    if not u8:
+        x = image_augmentation(x, s.contrast, s.brightness, s.gamma)
     if s.flip_x > 0.5:
         x, depth, conf = np.flip(x, 1).copy(), np.flip(depth, 1).copy(), np.flip(conf, 1).copy()
     if s.flip_y > 0.5:
@@ -119,17 +129,23 @@ def apply_with_conf(x, depth, conf, s: Seeds, *, crop_interval=None):
     x = np.rot90(x, s.angle, axes=(0, 1)).copy()
     depth = np.rot90(depth, s.angle, axes=(0, 1)).copy()
     conf = np.rot90(conf, s.angle, axes=(0, 1)).copy()
+    if u8:
+        x = image_augmentation(x, s.contrast, s.brightness, s.gamma)
     return x, depth, conf
 
 
 def ddff_apply(x, depth, s: Seeds):
     """DDFF variant: stack layout is (N, H, W, C) so spatial axes are 1/2
     (`train_Dataloader.py:14-28`)."""
-    x = image_augmentation(x, s.contrast, s.brightness, s.gamma)
+    u8 = x.dtype == np.uint8  # LUT after the permutations (bitwise-commuting)
+    if not u8:
+        x = image_augmentation(x, s.contrast, s.brightness, s.gamma)
     if s.flip_x > 0.5:
         x, depth = np.flip(x, 2).copy(), np.flip(depth, 1).copy()
     if s.flip_y > 0.5:
         x, depth = np.flip(x, 1).copy(), np.flip(depth, 0).copy()
     x = np.rot90(x, s.angle, axes=(1, 2)).copy()
     depth = np.rot90(depth, s.angle, axes=(0, 1)).copy()
+    if u8:
+        x = image_augmentation(x, s.contrast, s.brightness, s.gamma)
     return x, depth

@@ -249,14 +249,18 @@ class DDFFTrainval:
             gt = gt[..., 0] if gt.shape[-1] == 1 else gt[0]
         if self.split == "train":
             s = aug.Seeds.draw(self.rng)
+            square = self.crop is not None and self.crop[0] == self.crop[1]
+            if square:
+                # a SQUARE crop commutes with the flips/rot90 (uniform offset
+                # in either orientation ⇒ the same output distribution), so
+                # crop the uint8 first and run the whole aug on 224^2 instead
+                # of 383x552 — the flip/rot copies shrink ~6x
+                fs, gt = self._rand_crop(fs, gt)
             fs, gt = aug.ddff_apply(fs, gt, s)
-            if self.crop is not None:
-                ch, cw = self.crop
-                h, w = gt.shape  # post-rot90 orientation
-                y = int(self.rng.integers(0, h - ch + 1))
-                x = int(self.rng.integers(0, w - cw + 1))
-                fs = fs[:, y : y + ch, x : x + cw]
-                gt = gt[y : y + ch, x : x + cw]
+            if self.crop is not None and not square:
+                # non-square crops can't commute with rot90 (shape flips);
+                # keep the literal crop-after-aug order for those
+                fs, gt = self._rand_crop(fs, gt)
         else:
             fs = fs.astype(np.float32) / 127.5 - 1.0
         mask = gt != 0.0
@@ -268,6 +272,13 @@ class DDFFTrainval:
             "mask": mask,
             "unpadded": gt.shape,
         }
+
+    def _rand_crop(self, fs, gt):
+        ch, cw = self.crop
+        h, w = gt.shape
+        y = int(self.rng.integers(0, h - ch + 1))
+        x = int(self.rng.integers(0, w - cw + 1))
+        return fs[:, y : y + ch, x : x + cw], gt[y : y + ch, x : x + cw]
 
 
 # Google "Learning to Autofocus" focus-distance table in mm
