@@ -46,17 +46,20 @@ class Seeds:
         )
 
 
-def image_augmentation(x: np.ndarray, contrast: float, brightness: float, gamma: float) -> np.ndarray:
+def image_augmentation(x: np.ndarray, contrast: float, brightness: float, gamma: float,
+                       *, lut_dtype=np.float32) -> np.ndarray:
     """Photometric jitter: uint8-range input → [-1, 1] output (`augmentation.py:4-15`).
 
     A ``uint8`` input takes only 256 values, so the elementwise chain is
-    precomputed as a float32 LUT and applied as one gather — bit-identical to
-    running the float32 chain on the cast array (same scalar float32 ops per
-    value), and it removes the ``np.power`` over every pixel that otherwise
-    dominates host-side loader time.  Float inputs take the original path
-    unchanged (some loaders are float64 for reference parity)."""
+    precomputed as a LUT and applied as one gather — bit-identical to running
+    the float chain on the cast array (same scalar ops per value), and it
+    removes the ``np.power`` over every pixel that otherwise dominates
+    host-side loader time.  ``lut_dtype`` selects which cast the caller used
+    to take: float32 for the h5/jpg loaders, float64 where the reference's
+    uint8→float64 numpy promotion is the parity contract (DefocusNet,
+    FlyingThings).  Float inputs take the original path unchanged."""
     if x.dtype == np.uint8:
-        return _photometric(np.arange(256, dtype=np.float32), contrast, brightness, gamma)[x]
+        return _photometric(np.arange(256, dtype=lut_dtype), contrast, brightness, gamma)[x]
     return _photometric(x, contrast, brightness, gamma)
 
 
@@ -94,7 +97,7 @@ def randcrop_3d(x, depth, x_seed, y_seed, interval_x, interval_y):
     return x, depth
 
 
-def apply_standard(x, depth, s: Seeds, *, crop_interval=None):
+def apply_standard(x, depth, s: Seeds, *, crop_interval=None, lut_dtype=np.float32):
     """The shared train pipeline: [randcrop] + photometric + flips + rot90.
 
     For uint8 input the photometric LUT runs AFTER the flips/rot90 — a gather
@@ -109,7 +112,7 @@ def apply_standard(x, depth, s: Seeds, *, crop_interval=None):
     x, depth = vertical_flip(x, depth, s.flip_y)
     x, depth = rotate(x, depth, s.angle)
     if u8:
-        x = image_augmentation(x, s.contrast, s.brightness, s.gamma)
+        x = image_augmentation(x, s.contrast, s.brightness, s.gamma, lut_dtype=lut_dtype)
     return x, depth
 
 

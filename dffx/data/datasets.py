@@ -79,15 +79,16 @@ class DefocusNetDataset:
         # the reference clamps while the depth is still float16
         # (`test_Dataloader.py:37-38,52`); keep that dtype through the clamps
         depth = exr.read(self.root + self.imglist_dpt[index])["R"]
+        # uint8 through the aug; the float64 LUT reproduces the reference's
+        # uint8→float64 numpy-promotion chain bit-for-bit
         imgs = [
-            cv2.imread(self.root + self.imglist_all[index * 5 + i]).astype(np.float64)
-            for i in range(5)
+            cv2.imread(self.root + self.imglist_all[index * 5 + i]) for i in range(5)
         ]
-        stack = np.stack(imgs, axis=-1)  # (H, W, 3, N) BGR
+        stack = np.stack(imgs, axis=-1)  # (H, W, 3, N) BGR uint8
 
         if self.mode == "train":
             s = aug.Seeds.draw(self.rng)
-            stack, depth = aug.apply_standard(stack, depth, s)
+            stack, depth = aug.apply_standard(stack, depth, s, lut_dtype=np.float64)
             depth = depth.copy()
             depth[depth < 0.0] = 0.0
             depth[depth > 2.0] = 0.0
@@ -400,8 +401,9 @@ class _PathListStacks:
                 self.disp_paths.append(tmp[-1])
 
     def read_stack(self, idx: int) -> np.ndarray:
-        cv2 = _cv2()
-        imgs = [native.imread_compat(x[idx]).astype(np.float64) for x in self.rgb_paths]
+        # uint8; consumers divide by 127.5 (→ float64, identical to the old
+        # astype(float64) read) or run the float64-LUT augmentation
+        imgs = [native.imread_compat(x[idx]) for x in self.rgb_paths]
         return np.stack(imgs, axis=-1)  # (H, W, 3, N)
 
 
@@ -455,7 +457,9 @@ class FlyingThings3DDataset(_PathListStacks):
             h, w = depth.shape
             interval = (h - self.train_size[0], w - self.train_size[1])
             s = aug.Seeds.draw(self.rng, crop_interval=interval)
-            stack, depth = aug.apply_standard(stack, depth, s, crop_interval=interval)
+            stack, depth = aug.apply_standard(
+                stack, depth, s, crop_interval=interval, lut_dtype=np.float64
+            )
         else:
             stack = stack / 127.5 - 1.0
         depth = depth.copy()

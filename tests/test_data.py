@@ -78,6 +78,11 @@ def test_augmentation_parity(rng):
     slow = aug.image_augmentation(xu.astype(np.float32), 1.3, -0.05, 1.7)
     assert fast.dtype == np.float32
     np.testing.assert_array_equal(fast, slow)
+    # float64 LUT == the reference's uint8→float64 numpy-promotion chain
+    fast64 = aug.image_augmentation(xu, 1.3, -0.05, 1.7, lut_dtype=np.float64)
+    want64 = ref_aug.image_augmentation(xu, 1.3, -0.05, 1.7)
+    assert fast64.dtype == np.float64 and want64.dtype == np.float64
+    np.testing.assert_array_equal(fast64, want64)
 
     for rv in (0.2, 0.9):
         gx, gd = aug.horizontal_flip(x.copy(), d.copy(), rv)
