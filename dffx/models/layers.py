@@ -142,6 +142,10 @@ class Ctx:
     use_pallas: bool = False  # fused TPU kernels for the full-res hot stages (eval)
     use_packed: bool = False  # exact space-to-depth eval of the full-res tail
     remat: bool = False  # recompute full-res stage internals in the backward
+    # 'deep' additionally recomputes the fm / half long-range skips inside
+    # their late consumers (dres3/dres4) instead of storing them across the
+    # forward — frees the two largest boundary tensors for very large batches
+    remat_deep: bool = False
 
 
 def relu(x: jax.Array) -> jax.Array:

@@ -102,11 +102,14 @@ def main(argv=None):
                         help="BatchNorm semantics under data parallelism: "
                              "'sync' (global-batch stats) or 'per_shard' "
                              "(nn.DataParallel-faithful per-replica stats)")
-    parser.add_argument("--remat", action="store_true",
+    parser.add_argument("--remat", nargs="?", const=True, default=False,
+                        choices=[True, False, "deep"],
                         help="recompute stage activations in the backward "
                              "(selective jax.checkpoint) — required for "
                              "batch>=48 per chip at the 224^2 crop; measured "
-                             "3.3x train throughput at b128 vs b32 plain")
+                             "3.3x train throughput at b128 vs b32 plain. "
+                             "'--remat deep' additionally recomputes the "
+                             "fm/half skips from fs (max HBM headroom)")
     parser.add_argument("--coordinator", default=None, type=str,
                         help="multi-host: coordinator address host:port "
                              "(or DFFX_COORDINATOR env)")

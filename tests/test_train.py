@@ -60,11 +60,17 @@ def test_remat_step_matches_plain(batch):
     params = init_params(network_specs(), seed=0)
     s0 = create_train_state(params, lr=1e-3)
     plain = make_train_step(1e-3, LossConfig(), donate=False)
-    remat = make_train_step(1e-3, LossConfig(), donate=False, remat=True)
     _, logs_a = plain(s0, batch)
-    s0b = create_train_state(init_params(network_specs(), seed=0), lr=1e-3)
-    _, logs_b = remat(s0b, batch)
-    np.testing.assert_allclose(float(logs_a["loss"]), float(logs_b["loss"]), rtol=1e-6)
+    for mode in (True, "deep"):
+        step = make_train_step(1e-3, LossConfig(), donate=False, remat=mode)
+        sb, logs_b = step(create_train_state(init_params(network_specs(), seed=0),
+                                             lr=1e-3), batch)
+        np.testing.assert_allclose(float(logs_a["loss"]), float(logs_b["loss"]),
+                                   rtol=1e-6, err_msg=f"remat={mode}")
+        # deep remat re-emits the fm/half BN new-stats from its recomputes —
+        # they must land once, identical (same function of the same inputs)
+        mu = sb.params["DFF_net.FM_measure.Focus_extraction.0.1.running_mean"]
+        assert np.all(np.isfinite(np.asarray(mu)))
 
 
 def test_e2e_remat_step_matches_plain():
