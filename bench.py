@@ -104,7 +104,7 @@ def bench_dffx() -> dict:
     return results
 
 
-def bench_train(b: int = 32, remat: bool = False) -> float:
+def bench_train(b: int = 32, remat=False) -> float:  # remat: False | True | "deep"
     """Train-step throughput (stacks/s) at the reference DDFF recipe crop
     (224^2, N=10, bf16 fwd+bwd+Adam).  Two recorded operating points: b32
     plain (the VERDICT r2 item-1 point, comparable across rounds) and b128
@@ -252,7 +252,8 @@ def main():
     except Exception as e:
         print(f"# simulator bench failed: {e}", file=sys.stderr)
         sim_sps = None
-    train_sps = train128_sps = e2e_ms = None
+    train_sps = train128_sps = train256_sps = None
+    e2e_ms = None
     if ours["platform"] == "tpu":
         try:
             train_sps = round(bench_train(), 2)
@@ -262,6 +263,12 @@ def main():
             train128_sps = round(bench_train(b=128, remat=True), 2)
         except Exception as e:
             print(f"# train b128 bench failed: {e}", file=sys.stderr)
+        try:
+            # deep remat never stores the fm/half skips — the b256 point
+            # exceeded HBM with plain per-stage remat; record it if it fits
+            train256_sps = round(bench_train(b=256, remat="deep"), 2)
+        except Exception as e:
+            print(f"# train b256 deep bench failed: {e}", file=sys.stderr)
         try:
             e2e_ms = round(bench_e2e(), 2)
         except Exception as e:
@@ -284,6 +291,7 @@ def main():
                 "torch_cpu_stacks_per_sec": round(base, 4) if base == base else None,
                 "train_b32_stacks_per_sec": train_sps,
                 "train_b128_remat_stacks_per_sec": train128_sps,
+                "train_b256_deep_remat_stacks_per_sec": train256_sps,
                 "e2e_ms_per_stack": e2e_ms,
                 "simulator_scenes_per_sec": sim_sps,
                 "pallas_gate": gate.get("pallas_gate"),
