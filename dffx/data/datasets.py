@@ -216,6 +216,8 @@ class DDFFTrainval:
     256^2, Smartphone/FlyingThings crop in-loader).  A fixed crop also gives
     XLA one static train shape instead of two orientations.  ``crop=None``
     restores the reference's literal full-frame behaviour (batch 1 only).
+    The crop must be square: rot90 swaps H/W per sample, so a non-square
+    window cannot produce a static batchable shape either way.
     """
 
     def __init__(
@@ -235,6 +237,10 @@ class DDFFTrainval:
         self.min_dist = float(fd.min())
         self.max_dist = float(fd.max())
         self.focus_dists = (fd - self.min_dist) / (self.max_dist - self.min_dist)
+        if crop is not None and crop[0] != crop[1]:
+            raise ValueError(
+                f"crop must be square (rot90 swaps H/W per sample), got {crop}"
+            )
         self.crop = crop
         self.rng = np.random.default_rng(seed)
 
@@ -250,18 +256,13 @@ class DDFFTrainval:
             gt = gt[..., 0] if gt.shape[-1] == 1 else gt[0]
         if self.split == "train":
             s = aug.Seeds.draw(self.rng)
-            square = self.crop is not None and self.crop[0] == self.crop[1]
-            if square:
-                # a SQUARE crop commutes with the flips/rot90 (uniform offset
+            if self.crop is not None:
+                # a square crop commutes with the flips/rot90 (uniform offset
                 # in either orientation ⇒ the same output distribution), so
                 # crop the uint8 first and run the whole aug on 224^2 instead
                 # of 383x552 — the flip/rot copies shrink ~6x
                 fs, gt = self._rand_crop(fs, gt)
             fs, gt = aug.ddff_apply(fs, gt, s)
-            if self.crop is not None and not square:
-                # non-square crops can't commute with rot90 (shape flips);
-                # keep the literal crop-after-aug order for those
-                fs, gt = self._rand_crop(fs, gt)
         else:
             fs = fs.astype(np.float32) / 127.5 - 1.0
         mask = gt != 0.0

@@ -187,11 +187,14 @@ def _recompute_fm(c, pp, q, fs):
     return fm_module_apply(pp, q("FM_measure"), fs, c)
 
 
+def _half_from_fm(c, pp, q, fm):
+    """FM_conv1 stage (EFD downsample + SRD): the ONE definition shared by the
+    plain stage checkpoint and the deep-remat recompute paths."""
+    return srd_apply(pp, q("FM_conv1.1"), efd_apply(pp, q("FM_conv1.0"), fm, c), c)
+
+
 def _recompute_half(c, pp, q, fs):
-    return srd_apply(
-        pp, q("FM_conv1.1"),
-        efd_apply(pp, q("FM_conv1.0"), _recompute_fm(c, pp, q, fs), c), c
-    )
+    return _half_from_fm(c, pp, q, _recompute_fm(c, pp, q, fs))
 
 
 def dffnet_apply(
@@ -245,7 +248,7 @@ def dffnet_apply(
     else:
 
         def _stage1(c, pp, fm):
-            return srd_apply(pp, q("FM_conv1.1"), efd_apply(pp, q("FM_conv1.0"), fm, c), c)
+            return _half_from_fm(c, pp, q, fm)
 
         def _stage2(c, pp, half):
             return srd_apply(pp, q("FM_conv2.1"), efd_apply(pp, q("FM_conv2.0"), half, c), c)

@@ -102,8 +102,8 @@ def main(argv=None):
                         help="BatchNorm semantics under data parallelism: "
                              "'sync' (global-batch stats) or 'per_shard' "
                              "(nn.DataParallel-faithful per-replica stats)")
-    parser.add_argument("--remat", nargs="?", const=True, default=False,
-                        choices=[True, False, "deep"],
+    parser.add_argument("--remat", nargs="?", const="on", default="off",
+                        choices=["on", "deep"],
                         help="recompute stage activations in the backward "
                              "(selective jax.checkpoint) — required for "
                              "batch>=48 per chip at the 224^2 crop; measured "
@@ -172,9 +172,10 @@ def main(argv=None):
             opt_state=jax.tree_util.tree_map(jnp.asarray, blob["opt_state"]),
         )
 
+    remat = {"off": False, "on": True}.get(args.remat, args.remat)
     step_fn = make_train_step(args.lr, recipe.loss, e2e=recipe.e2e,
                               bn_mode=args.bn_mode, mesh=mesh,
-                              remat=args.remat)
+                              remat=remat)
     eval_fn = make_eval_fn(e2e=recipe.e2e)
     sharding = batch_sharding(mesh)
 

@@ -60,17 +60,32 @@ def test_remat_step_matches_plain(batch):
     params = init_params(network_specs(), seed=0)
     s0 = create_train_state(params, lr=1e-3)
     plain = make_train_step(1e-3, LossConfig(), donate=False)
-    _, logs_a = plain(s0, batch)
+    sa, logs_a = plain(s0, batch)
+    # remat only rewires the BACKWARD (what gets stored vs recomputed), so the
+    # real assertion is gradient equality — checked through the updated
+    # weights of the params whose grad paths deep mode reroutes (fm / FM_conv1
+    # flow through three recompute sites instead of stored skips)
+    grad_probes = [
+        "DFF_net.FM_measure.Focus_extraction.0.0.weight",
+        "DFF_net.FM_conv1.0.stride_conv.0.weight",
+        "DFF_net.dres4.conv1.0.0.weight",
+    ]
     for mode in (True, "deep"):
         step = make_train_step(1e-3, LossConfig(), donate=False, remat=mode)
         sb, logs_b = step(create_train_state(init_params(network_specs(), seed=0),
                                              lr=1e-3), batch)
         np.testing.assert_allclose(float(logs_a["loss"]), float(logs_b["loss"]),
                                    rtol=1e-6, err_msg=f"remat={mode}")
+        for k in grad_probes:
+            np.testing.assert_allclose(
+                np.asarray(sb.params[k]), np.asarray(sa.params[k]),
+                atol=1e-6, err_msg=f"remat={mode}: {k}"
+            )
         # deep remat re-emits the fm/half BN new-stats from its recomputes —
-        # they must land once, identical (same function of the same inputs)
-        mu = sb.params["DFF_net.FM_measure.Focus_extraction.0.1.running_mean"]
-        assert np.all(np.isfinite(np.asarray(mu)))
+        # they must land identical to the plain step's
+        k = "DFF_net.FM_measure.Focus_extraction.0.1.running_mean"
+        np.testing.assert_allclose(np.asarray(sb.params[k]), np.asarray(sa.params[k]),
+                                   rtol=1e-6, err_msg=f"remat={mode}: {k}")
 
 
 def test_e2e_remat_step_matches_plain():

@@ -104,7 +104,9 @@ def main() -> int:
     ap.add_argument("--threads", type=int, default=os.cpu_count() or 8)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--epochs", type=int, default=2)
-    ap.add_argument("--keep", action="store_true", help="keep synthetic files")
+    ap.add_argument("--cleanup", action="store_true",
+                    help="delete the synthetic fixtures at exit (default: keep "
+                         "them under /tmp so repeat runs skip the synthesis)")
     args = ap.parse_args()
 
     from dffx.data import DDFFTrainval, Loader, SmartphoneDataset
@@ -127,7 +129,7 @@ def main() -> int:
     out["smartphone_train_stacks_per_sec"] = round(_run(ld, args.epochs), 2)
 
     print(json.dumps(out))
-    if not args.keep:
+    if args.cleanup:
         shutil.rmtree(BENCH_ROOT, ignore_errors=True)
     return 0
 
