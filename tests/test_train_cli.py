@@ -64,6 +64,18 @@ def test_auto_resume_loads_epoch_one(tmp_path, tiny_recipe, capsys):
     assert int(ckpt.load(root + "models/2.ckpt")["step"]) == 2
 
 
+def test_cli_remat_deep_smoke(tmp_path, tiny_recipe):
+    """'--remat deep' must map through the CLI's tri-state flag and train."""
+    root = str(tmp_path) + "/"
+    cli.main([
+        "--recipe", "DDFF", "--lr", "1e-4", "--saveroot", root,
+        "--batch_size", str(tiny_recipe), "--cpus", "2",
+        "--steps-per-epoch", "1", "--max_epoch", "1",
+        "--remat", "deep",
+    ])
+    assert int(ckpt.load(root + "models/1.ckpt")["step"]) == 1
+
+
 def test_cli_per_shard_bn_smoke(tmp_path, tiny_recipe, capsys):
     """--bn_mode per_shard must train end-to-end through the CLI (shard_map
     step over the full device mesh, batch sharded per device)."""

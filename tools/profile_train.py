@@ -43,7 +43,8 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--mode", choices=["components", "prefix"], default="components")
-    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat", nargs="?", const="on", default="off",
+                    choices=["on", "deep"])
     args = ap.parse_args()
 
     enable_persistent_cache()
@@ -89,8 +90,9 @@ def main():
                 loss_fn, has_aux=True)(t, x, s, d)
             return g, new_stats, logs["loss"]
 
-        step = make_train_step(1e-4, cfg, compute_dtype=dt, donate=False,
-                               remat=args.remat)
+        step = make_train_step(
+            1e-4, cfg, compute_dtype=dt, donate=False,
+            remat={"off": False, "on": True}.get(args.remat, args.remat))
         state = create_train_state(params, lr=1e-4)
 
         def full_step(x, st, d):
