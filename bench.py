@@ -189,6 +189,28 @@ def bench_simulator() -> float:
     return iters / (time.perf_counter() - t0)
 
 
+def probe_backend(timeout: int = 240) -> str:
+    """Device-init probe in a subprocess.
+
+    The axon TPU backend blocks *forever* at init when its tunnel is down
+    (observed: a multi-hour outage) — a hung bench leaves the round with no
+    artifact at all.  Returns the platform string, or "unreachable" if init
+    doesn't complete within ``timeout``.
+    """
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout, cwd=here,
+        )
+        plat = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+        return plat or "unreachable"
+    except subprocess.TimeoutExpired:
+        return "unreachable"
+
+
 def run_pallas_gate() -> dict:
     """Compiled-Pallas-vs-XLA numerics on the chip (tools/tpu_gate.py), in a
     subprocess so a Mosaic crash can't take the bench down."""
@@ -245,6 +267,15 @@ def bench_reference_cpu() -> float:
 
 
 def main():
+    if probe_backend() == "unreachable":
+        print(json.dumps({
+            "metric": "focal stacks/sec/chip (10x384x384 DFFNet fwd, bf16, on-device timed)",
+            "value": None, "unit": "stacks/s", "vs_baseline": None,
+            "error": "device backend unreachable (TPU tunnel down) — "
+                     "device init did not complete; see BENCH history for "
+                     "the last measured values",
+        }))
+        sys.exit(1)
     ours = bench_dffx()
     base = bench_reference_cpu()
     try:
