@@ -31,9 +31,14 @@ def main():
     # stage remat frees the activation HBM that batch-scaling the MXU needs
     for batch, dtype, remat in [(4, jnp.float32, False), (4, jnp.bfloat16, False),
                                 (32, jnp.bfloat16, False), (32, jnp.bfloat16, True),
-                                (64, jnp.bfloat16, True), (128, jnp.bfloat16, True)]:
+                                (64, jnp.bfloat16, True), (128, jnp.bfloat16, True),
+                                (128, jnp.bfloat16, "deep"),
+                                (256, jnp.bfloat16, "deep")]:
         bdata = {
-            "fs": jnp.asarray(rng.uniform(-1, 1, (batch, n, h, w, 3)).astype(np.float32)),
+            # staged fp16→bf16 (a b256 fp32 staging copy alone is 6 GB)
+            "fs": jnp.asarray(
+                rng.uniform(-1, 1, (batch, n, h, w, 3)).astype(np.float16)
+            ).astype(jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32),
             "depth": jnp.asarray(rng.uniform(0, 1, (batch, h, w)).astype(np.float32)),
             "focus_dists": jnp.asarray(
                 np.tile(np.linspace(0, 1, n, dtype=np.float32), (batch, 1))),
