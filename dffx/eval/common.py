@@ -105,14 +105,25 @@ class TimedForward:
             use_pallas = (
                 jax.devices()[0].platform == "tpu" and dtype == jnp.bfloat16
             )
+        # Pallas fast paths are exact reparameterizations of the XLA path, so
+        # an XLA retry is always numerically safe.  Mosaic failures surface at
+        # jit-COMPILE time (first call), not at trace time — the fallback
+        # therefore lives in __call__, not inside the traced function.  It
+        # protects serving from compile-service hiccups and from kernels whose
+        # on-chip gate hasn't run yet (ADVICE r3: the fused motion head).
+        self._use_pallas = bool(use_pallas)
 
-        def fwd(p, *args):
-            ctx = Ctx(train=False, compute_dtype=dtype, precision=precision,
-                      use_pallas=use_pallas, use_packed=use_pallas)
-            cast = tuple(a.astype(dtype) if a.ndim >= 4 else a for a in args)
-            return apply_fn(p, *cast, ctx)
+        def make_jitted(pallas: bool):
+            def fwd(p, *args):
+                ctx = Ctx(train=False, compute_dtype=dtype, precision=precision,
+                          use_pallas=pallas, use_packed=pallas)
+                cast = tuple(a.astype(dtype) if a.ndim >= 4 else a for a in args)
+                return apply_fn(p, *cast, ctx)
 
-        self._jitted = jax.jit(fwd)
+            return jax.jit(fwd)
+
+        self._make_jitted = make_jitted
+        self._jitted = make_jitted(self._use_pallas)
 
     def put(self, *args):
         """Device-place forward inputs (async) — spatially sharded when the
@@ -128,8 +139,18 @@ class TimedForward:
         # measures the model, not the host link
         args = jax.block_until_ready(self.put(*args))
         t0 = time.time()
-        outs = self._jitted(self.params, *args)
-        outs = jax.block_until_ready(outs)
+        try:
+            outs = self._jitted(self.params, *args)
+            outs = jax.block_until_ready(outs)
+        except Exception:
+            if not self._use_pallas:
+                raise
+            print("[dffx] fused Pallas path failed to compile — "
+                  "retrying on the XLA path")
+            self._use_pallas = False
+            self._jitted = self._make_jitted(False)
+            t0 = time.time()
+            outs = jax.block_until_ready(self._jitted(self.params, *args))
         self.total += time.time() - t0
         # count samples, not calls: with batched eval AVG_time stays the
         # per-sample average the reference prints (`test.py:117-119,:181`)

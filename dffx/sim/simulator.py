@@ -125,7 +125,9 @@ def disc_kernel(blur_size: int) -> np.ndarray:
         canvas = np.zeros((blur_size, blur_size), dtype=np.float64)
         cv2.circle(canvas, (blur_size // 2, blur_size // 2), blur_size // 2,
                    (1, 1, 1), -1)
-        cached = _DISC_CACHE.setdefault(blur_size, canvas / np.sum(canvas))
+        kern = canvas / np.sum(canvas)
+        kern.setflags(write=False)  # shared across callers — freeze it
+        cached = _DISC_CACHE.setdefault(blur_size, kern)
     return cached
 
 

@@ -84,6 +84,37 @@ def _validate(eval_fn, params, dataset, recipe, writer, epoch):
     print("AVG_time:", val_time / n)
 
 
+_OOM_MARKERS = ("RESOURCE_EXHAUSTED", "resource_exhausted", "Out of memory",
+                "out of memory", "exceeds the limit", "Ran out of memory")
+
+
+def _with_remat_hint(step_fn, *, remat, batch_size):
+    """Wrap the train step so an HBM compile/alloc failure without ``--remat``
+    surfaces as an actionable message instead of a raw XLA error (batch >= 48
+    at the 224^2 crop does not compile un-rematerialized; measured r3)."""
+    ran_once = False
+
+    def run(state, batch):
+        nonlocal ran_once
+        try:
+            out = step_fn(state, batch)
+        except Exception as e:
+            msg = str(e)
+            if not ran_once and not remat and any(m in msg for m in _OOM_MARKERS):
+                raise RuntimeError(
+                    f"[dffx] train step does not fit in device memory at "
+                    f"batch_size={batch_size} without rematerialization — "
+                    "rerun with --remat (or --remat deep for maximum HBM "
+                    "headroom; measured 3.3x throughput at b128 vs b32 "
+                    "plain).  Original error:\n" + msg[:800]
+                ) from e
+            raise
+        ran_once = True
+        return out
+
+    return run
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Train code: Depth from focus (dffx/TPU)")
     parser.add_argument("--recipe", type=str, required=True, choices=sorted(RECIPES))
@@ -176,6 +207,7 @@ def main(argv=None):
     step_fn = make_train_step(args.lr, recipe.loss, e2e=recipe.e2e,
                               bn_mode=args.bn_mode, mesh=mesh,
                               remat=remat)
+    step_fn = _with_remat_hint(step_fn, remat=remat, batch_size=args.batch_size)
     eval_fn = make_eval_fn(e2e=recipe.e2e)
     sharding = batch_sharding(mesh)
 

@@ -140,3 +140,30 @@ def test_real_scenes_cli(tmp_path, capsys, monkeypatch):
     warped = os.listdir(os.path.join(out_dir, "warped_result", "0"))
     assert len(warped) == 10
     assert "AVG_time" in capsys.readouterr().out
+
+
+def test_timed_forward_pallas_compile_fallback():
+    """A fused-path compile failure at first call must fall back to the XLA
+    path transparently (ADVICE r3: serving has no runtime fallback)."""
+    import jax.numpy as jnp
+
+    from dffx.eval.common import TimedForward
+
+    calls = []
+
+    def apply_fn(params, x, ctx):
+        calls.append(ctx.use_pallas)
+        if ctx.use_pallas:
+            raise RuntimeError("Mosaic compile service: INTERNAL")
+        return (x * params,)
+
+    fwd = TimedForward(apply_fn, jnp.asarray(2.0), use_pallas=True)
+    x = jnp.ones((1, 2, 32, 32, 3))
+    (out,) = fwd(x)
+    assert calls == [True, False]
+    assert float(out[0, 0, 0, 0, 0]) == 2.0
+    assert fwd.count == 1
+    # subsequent calls stay on the XLA path without re-failing
+    fwd(x)
+    assert calls == [True, False]  # cached jit, no retrace
+    assert fwd.count == 2

@@ -1,0 +1,150 @@
+"""Tunnel-proofing tests for the driver-graded entry points.
+
+MULTICHIP_r03 post-mortem: when the axon TPU tunnel is down, backend init
+*hangs* (never raises), so ``__graft_entry__.dryrun_multichip`` must not call
+``jax.devices()`` in the parent process unless a backend is already live.
+These tests pin the routing logic and the probe's timeout machinery so a TPU
+outage can never again turn into a failed CPU correctness artifact.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __graft_entry__ as ge  # noqa: E402
+
+
+def test_probe_timeout_returns_none():
+    # a probe child that hangs (the downed-tunnel failure mode) must be
+    # killed by the timeout and report None, not block the parent
+    got = ge._probe_parent_backend(timeout=2, _code="import time; time.sleep(60)")
+    assert got is None
+
+
+def test_probe_garbage_output_returns_none():
+    assert ge._probe_parent_backend(timeout=30, _code="print('NDEV zzz')") is None
+    assert ge._probe_parent_backend(timeout=30, _code="print('no marker')") is None
+
+
+def test_probe_reads_device_count():
+    got = ge._probe_parent_backend(timeout=120, _code="print('NDEV 8')")
+    assert got == 8
+
+
+def test_hanging_backend_routes_to_subprocess(monkeypatch):
+    """Simulated hanging parent backend: no backend initialized, probe times
+    out (returns None) -> the CPU-subprocess path must be chosen and the
+    parent must never touch jax.devices()."""
+    calls = []
+    monkeypatch.setattr(ge, "_backend_initialized_device_count", lambda: None)
+    monkeypatch.setattr(ge, "_probe_parent_backend", lambda *a, **k: None)
+    monkeypatch.setattr(
+        ge, "_dryrun_multichip_subprocess", lambda n: calls.append(("sub", n))
+    )
+    monkeypatch.setattr(
+        ge, "_dryrun_multichip_body", lambda n: calls.append(("body", n))
+    )
+    ge.dryrun_multichip(8)
+    assert calls == [("sub", 8)]
+
+
+def test_small_probe_count_routes_to_subprocess(monkeypatch):
+    """Tunnel up but only 1 real chip visible: still the subprocess path."""
+    calls = []
+    monkeypatch.setattr(ge, "_backend_initialized_device_count", lambda: None)
+    monkeypatch.setattr(ge, "_probe_parent_backend", lambda *a, **k: 1)
+    monkeypatch.setattr(
+        ge, "_dryrun_multichip_subprocess", lambda n: calls.append(("sub", n))
+    )
+    ge.dryrun_multichip(8)
+    assert calls == [("sub", 8)]
+
+
+def test_initialized_backend_runs_in_parent(monkeypatch):
+    """A live backend with enough devices (the conftest 8-CPU mesh) runs the
+    body in-process without any probe subprocess."""
+    calls = []
+    monkeypatch.setattr(
+        ge, "_probe_parent_backend",
+        lambda *a, **k: pytest.fail("probe must not run when a backend is live"),
+    )
+    monkeypatch.setattr(
+        ge, "_dryrun_multichip_body", lambda n: calls.append(("body", n))
+    )
+    # conftest initialized the 8-device CPU backend already
+    assert ge._backend_initialized_device_count() == 8
+    ge.dryrun_multichip(8)
+    assert calls == [("body", 8)]
+
+
+def test_subprocess_env_strips_axon(monkeypatch):
+    """The CPU fallback child must not see the axon sitecustomize dir or the
+    env flag that arms the tunnel registration."""
+    import subprocess
+
+    captured = {}
+
+    def fake_run(cmd, env=None, cwd=None):
+        captured["env"] = env
+
+        class P:
+            returncode = 0
+
+        return P()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setenv("PYTHONPATH", "/root/.axon_site" + os.pathsep + "/root/repo")
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+    ge._dryrun_multichip_subprocess(8)
+    env = captured["env"]
+    assert "axon_site" not in env.get("PYTHONPATH", "")
+    assert "PALLAS_AXON_POOL_IPS" not in env
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert "xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
+
+
+def test_bench_last_known_good_carries_history():
+    """bench.py must embed the newest non-null BENCH_r*.json on outage."""
+    import json
+
+    import bench
+
+    rec = bench.last_known_good()
+    # r02 is the last committed artifact with a measured value; r03 is null
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    rounds = sorted(f for f in os.listdir(here) if f.startswith("BENCH_r"))
+    nonnull = []
+    for f in rounds:
+        with open(os.path.join(here, f)) as fh:
+            try:
+                d = json.load(fh)
+            except json.JSONDecodeError:
+                continue
+        if isinstance(d, dict) and d.get("value") is not None:
+            nonnull.append(f)
+    if not nonnull:
+        assert rec == {}
+    else:
+        assert rec["round"] == nonnull[-1]
+        assert rec["value"] is not None
+
+
+def test_bench_probe_platform_mismatch_is_unreachable(monkeypatch):
+    """Parent pinned to a device platform + probe child falling back to CPU
+    must be treated as a failed probe, not a green light."""
+    import subprocess
+
+    import bench
+
+    class Out:
+        stdout = "cpu\n"
+        stderr = ""
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: Out())
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    assert bench.probe_backend(timeout=5) == "unreachable"
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert bench.probe_backend(timeout=5) == "cpu"

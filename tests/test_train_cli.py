@@ -87,3 +87,46 @@ def test_cli_per_shard_bn_smoke(tmp_path, tiny_recipe, capsys):
         "--bn_mode", "per_shard",
     ])
     assert int(ckpt.load(root + "models/1.ckpt")["step"]) == 1
+
+
+def test_remat_hint_on_oom():
+    """A first-step HBM failure without --remat must surface the --remat
+    suggestion, not the raw XLA error (VERDICT r3 UX item)."""
+    import pytest
+
+    from dffx.train.cli import _with_remat_hint
+
+    def oom_step(state, batch):
+        raise RuntimeError("RESOURCE_EXHAUSTED: Ran out of memory in HBM")
+
+    wrapped = _with_remat_hint(oom_step, remat=False, batch_size=128)
+    with pytest.raises(RuntimeError, match=r"rerun with --remat"):
+        wrapped(None, None)
+
+    # with remat already on, the raw error passes through (nothing to suggest)
+    wrapped = _with_remat_hint(oom_step, remat=True, batch_size=128)
+    with pytest.raises(RuntimeError, match=r"RESOURCE_EXHAUSTED"):
+        wrapped(None, None)
+
+    # non-OOM errors pass through untouched
+    def other_step(state, batch):
+        raise ValueError("shape mismatch")
+
+    wrapped = _with_remat_hint(other_step, remat=False, batch_size=128)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        wrapped(None, None)
+
+    # errors after a successful first step are never rewritten (a mid-train
+    # failure is not a config problem)
+    calls = {"n": 0}
+
+    def flaky_step(state, batch):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED mid-train")
+        return "state", {"loss": 0.0}
+
+    wrapped = _with_remat_hint(flaky_step, remat=False, batch_size=128)
+    assert wrapped(None, None)[0] == "state"
+    with pytest.raises(RuntimeError, match="mid-train"):
+        wrapped(None, None)

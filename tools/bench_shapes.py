@@ -30,7 +30,63 @@ WORKLOADS = [
 ]
 
 
+# --spatial-model: the per-shard compute term of spatial-sharded serving,
+# measurable on ONE chip (VERDICT r3 item 5).  T_spatial_N(XLA) ~=
+# T_xla(H/N + halo rows) + ICI halo time; the halo exchanges are a few rows x
+# W x C ppermutes per conv stage (~50 stages x O(10us) on v5e ICI << 1 ms), so
+# comparing T_xla(half shape) against T_pallas(full shape) decides whether
+# --spatial 2/4 XLA can beat the single-chip fused path.  Shard heights are
+# rounded UP to x32 (272 -> 288 etc.), which over-counts shard compute a
+# little — conservative in the fused path's favor.
+SPATIAL_MODEL_WORKLOADS = [
+    ("Middlebury_full", 15, 544, 960),
+    ("Middlebury_halfshard", 15, 288, 960),
+    ("Middlebury_quartershard", 15, 160, 960),
+]
+SPATIAL_MODEL_E2E = [
+    ("E2E_full", 10, 608, 1088),
+    ("E2E_halfshard", 10, 320, 1088),
+    ("E2E_quartershard", 10, 160, 1088),
+]
+
+
+def spatial_model():
+    from dffx.models import e2e_apply, e2e_network_specs
+
+    enable_persistent_cache()
+    rng = np.random.default_rng(0)
+    jobs = [(dffnet_apply, init_params(network_specs(), seed=0), False, wl)
+            for wl in SPATIAL_MODEL_WORKLOADS]
+    jobs += [(e2e_apply, init_params(e2e_network_specs(), seed=0), True, wl)
+             for wl in SPATIAL_MODEL_E2E]
+    for apply_fn, params, e2e, (name, n, h, w) in jobs:
+        fs = jnp.asarray(rng.uniform(-1, 1, (1, n, h, w, 3)).astype(np.float32))
+        fd = jnp.asarray(np.linspace(0.2, 7.0, n, dtype=np.float32)[None])
+        fovs = jnp.asarray(np.linspace(1.0, 1.02, n, dtype=np.float32)[None])
+        row = {"workload": name, "shape": f"{n}x{h}x{w}"}
+        for key, pallas in [("xla_ms", False), ("pallas_packed_ms", True)]:
+            ctx = Ctx(compute_dtype=jnp.bfloat16, use_pallas=pallas,
+                      use_packed=pallas)
+
+            def fwd(x, p, d):
+                x = x.astype(jnp.bfloat16)
+                return (e2e_apply(p, x, d, fovs, ctx) if e2e
+                        else dffnet_apply(p, x, d, ctx))
+
+            try:
+                per = device_loop_time(fwd, fs, params, fd, iters=6)
+                row[key] = round(per * 1e3, 2)
+            except Exception as e:
+                row[key] = f"FAILED {type(e).__name__}"
+        print(json.dumps(row), flush=True)
+
+
 def main():
+    import sys
+
+    if "--spatial-model" in sys.argv[1:]:
+        spatial_model()
+        return
     enable_persistent_cache()
     params = init_params(network_specs(), seed=0)
     rng = np.random.default_rng(0)

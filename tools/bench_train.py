@@ -33,7 +33,12 @@ def main():
                                 (32, jnp.bfloat16, False), (32, jnp.bfloat16, True),
                                 (64, jnp.bfloat16, True), (128, jnp.bfloat16, True),
                                 (128, jnp.bfloat16, "deep"),
-                                (256, jnp.bfloat16, "deep")]:
+                                (256, jnp.bfloat16, "deep"),
+                                # r3 found step time batch-FLAT b64->b128 — if
+                                # deep remat frees the HBM, bigger batches are
+                                # near-free throughput (VERDICT r3 item 6)
+                                (384, jnp.bfloat16, "deep"),
+                                (512, jnp.bfloat16, "deep")]:
         bdata = {
             # staged fp16→bf16 (a b256 fp32 staging copy alone is 6 GB)
             "fs": jnp.asarray(

@@ -1,0 +1,202 @@
+"""Round-4 on-chip measurement queue (resumable).
+
+The TPU tunnel has a history of multi-hour outages (rounds 3-4); when it comes
+back it may not stay up.  This runner executes the round-4 on-chip TODO queue
+sequentially — ONE device measurement at a time, each in its own subprocess
+with a timeout — and appends every result to ``ONCHIP_r04.jsonl``.  Re-running
+skips steps that already completed (rc == 0), so a mid-queue tunnel drop loses
+only the in-flight step.
+
+    python tools/round4_onchip.py [--only STEP[,STEP]] [--redo STEP[,STEP]]
+
+Queue (VERDICT r3 "Next round" items 2, 3, 5, 6):
+  gate_main       tools/tpu_gate.py on main's kernels (incl. the r3 fused
+                  motion head that never reached hardware)
+  gate_kyshift    the same gate on the ky-shift-experiment branch kernels,
+                  run from an isolated git worktree
+  shapes_main     per-shape batch-1 latency table (XLA/Pallas/packed)
+  shapes_kyshift  the A/B against main's table (only if gate_kyshift passed)
+  shapes_halves   XLA vs Pallas at half/quarter-height big-stack shapes — the
+                  per-shard compute term of the spatial-serving model (one
+                  chip: T_spatial_N ~= T(H/N + halo) + ICI halo time)
+  train_ladder    train-step ladder b32..b512 (bench_train; deep remat rows)
+  e2e_ms          fused E2E forward latency at 10x608x1088
+  simulator       scenes/s
+  bench           the full headline bench.py (writes the round artifact line)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+STATE = os.path.join(REPO, "ONCHIP_r04.jsonl")
+KY_WORKTREE = "/tmp/ky_wt"
+KY_BRANCH = "ky-shift-experiment"
+
+
+def tpu_env(pythonpath_root: str = REPO) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/.axon_site" + os.pathsep + pythonpath_root
+    env.pop("JAX_PLATFORMS", None) if env.get("JAX_PLATFORMS") == "cpu" else None
+    return env
+
+
+def probe(timeout: int = 240) -> bool:
+    """Backend-init probe in a subprocess (init hangs when the tunnel is down)."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('PLAT', jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout, env=tpu_env(),
+            cwd=REPO,
+        )
+        return "PLAT tpu" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def done_steps() -> dict:
+    done = {}
+    if os.path.exists(STATE):
+        with open(STATE) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                done[rec.get("step")] = rec
+    return done
+
+
+def record(rec: dict) -> None:
+    with open(STATE, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def run_step(name: str, cmd: list, *, timeout: int, cwd: str = REPO,
+             pythonpath_root: str = REPO) -> dict:
+    print(f"[onchip] {name}: {' '.join(cmd)}", file=sys.stderr, flush=True)
+    t0 = time.time()
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout, cwd=cwd,
+                             env=tpu_env(pythonpath_root))
+        rc, stdout, stderr = out.returncode, out.stdout, out.stderr
+    except subprocess.TimeoutExpired as e:
+        rc = 124
+        stdout = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        stderr = "TIMEOUT"
+    rec = {
+        "step": name, "rc": rc, "seconds": round(time.time() - t0, 1),
+        "stdout_tail": stdout.strip().splitlines()[-30:],
+        "stderr_tail": stderr.strip().splitlines()[-8:],
+    }
+    record(rec)
+    for line in rec["stdout_tail"]:
+        print(f"  {line}", file=sys.stderr, flush=True)
+    print(f"[onchip] {name}: rc={rc} ({rec['seconds']}s)", file=sys.stderr, flush=True)
+    return rec
+
+
+def ensure_ky_worktree() -> bool:
+    if os.path.isdir(os.path.join(KY_WORKTREE, "dffx")):
+        return True
+    out = subprocess.run(["git", "worktree", "add", "--force", KY_WORKTREE, KY_BRANCH],
+                         capture_output=True, text=True, cwd=REPO)
+    if out.returncode != 0:
+        record({"step": "ky_worktree", "rc": out.returncode,
+                "stderr_tail": out.stderr.strip().splitlines()[-5:]})
+        return False
+    return True
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None, help="comma-separated step subset")
+    ap.add_argument("--redo", default=None, help="steps to re-run even if done")
+    args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+    redo = set(args.redo.split(",")) if args.redo else set()
+
+    if not probe():
+        print(json.dumps({"onchip": "unreachable"}))
+        return 2
+    print("[onchip] tunnel is UP", file=sys.stderr, flush=True)
+
+    py = sys.executable
+    done = done_steps()
+
+    def want(name):
+        if only is not None and name not in only:
+            return False
+        if name in redo:
+            return True
+        return not (done.get(name, {}).get("rc") == 0)
+
+    if want("gate_main"):
+        done["gate_main"] = run_step(
+            "gate_main", [py, os.path.join(HERE, "tpu_gate.py")], timeout=2400)
+
+    if want("gate_kyshift") and ensure_ky_worktree():
+        done["gate_kyshift"] = run_step(
+            "gate_kyshift", [py, os.path.join(KY_WORKTREE, "tools", "tpu_gate.py")],
+            timeout=2400, cwd=KY_WORKTREE, pythonpath_root=KY_WORKTREE)
+
+    if want("shapes_main"):
+        done["shapes_main"] = run_step(
+            "shapes_main", [py, os.path.join(HERE, "bench_shapes.py")], timeout=3000)
+
+    ky_gate_ok = False
+    for line in done.get("gate_kyshift", {}).get("stdout_tail", []):
+        if '"pallas_gate": "pass"' in line:
+            ky_gate_ok = True
+    if want("shapes_kyshift"):
+        if ky_gate_ok and ensure_ky_worktree():
+            done["shapes_kyshift"] = run_step(
+                "shapes_kyshift",
+                [py, os.path.join(KY_WORKTREE, "tools", "bench_shapes.py")],
+                timeout=3000, cwd=KY_WORKTREE, pythonpath_root=KY_WORKTREE)
+        else:
+            record({"step": "shapes_kyshift", "rc": -1,
+                    "note": "skipped: ky-shift gate did not pass"})
+
+    if want("shapes_halves"):
+        done["shapes_halves"] = run_step(
+            "shapes_halves",
+            [py, os.path.join(HERE, "bench_shapes.py"), "--spatial-model"],
+            timeout=3000)
+
+    if want("train_ladder"):
+        done["train_ladder"] = run_step(
+            "train_ladder", [py, os.path.join(HERE, "bench_train.py")], timeout=5400)
+
+    if want("e2e_ms"):
+        done["e2e_ms"] = run_step(
+            "e2e_ms", [py, "-c",
+                       "import bench, json; print(json.dumps({'e2e_ms_per_stack': round(bench.bench_e2e(), 2)}))"],
+            timeout=1800)
+
+    if want("simulator"):
+        done["simulator"] = run_step(
+            "simulator", [py, "-c",
+                          "import bench, json; print(json.dumps({'simulator_scenes_per_sec': round(bench.bench_simulator(), 3)}))"],
+            timeout=1200)
+
+    if want("bench"):
+        done["bench"] = run_step("bench", [py, os.path.join(REPO, "bench.py")],
+                                 timeout=5400)
+
+    bad = [k for k, v in done.items() if v.get("rc") not in (0, -1)]
+    print(json.dumps({"onchip": "done", "failed_steps": bad}))
+    return 0 if not bad else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
