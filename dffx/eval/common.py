@@ -68,11 +68,13 @@ class TimedForward:
     kernels assume whole rows, so ``spatial > 1`` forces the XLA path."""
 
     def __init__(self, apply_fn, params, *, dtype=jnp.float32, precision=None,
-                 use_pallas: Optional[bool] = None, spatial: int = 1):
+                 use_pallas: Optional[bool] = None, spatial: int = 1,
+                 spatial_pallas: bool = False):
         self.params = params
         self.total = 0.0
         self.count = 0
         self._put_one = None
+        self._spatial_mesh = None
         if spatial > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -88,7 +90,15 @@ class TimedForward:
             ssh = NamedSharding(mesh, P(None, None, "spatial"))
             rep = NamedSharding(mesh, P())
             self.params = jax.device_put(params, rep)
-            use_pallas = False  # row-block kernels don't see across halo cuts
+            if spatial_pallas:
+                # opt-in: run the fused chains H-sharded via the one-halo
+                # shard_map wrapper (dffx.ops.halo) instead of forcing XLA.
+                # Needs H % (32*spatial) == 0 — stages fall back to XLA
+                # per-shape otherwise (spatial_ok gates inside the model).
+                self._spatial_mesh = mesh
+            else:
+                use_pallas = False  # default policy: XLA under GSPMD halos
+                # (pending the on-chip A/B; see PARITY.md spatial policy)
 
             def put_one(a):
                 a = jnp.asarray(a)
@@ -113,10 +123,13 @@ class TimedForward:
         # on-chip gate hasn't run yet (ADVICE r3: the fused motion head).
         self._use_pallas = bool(use_pallas)
 
+        spatial_mesh = self._spatial_mesh
+
         def make_jitted(pallas: bool):
             def fwd(p, *args):
                 ctx = Ctx(train=False, compute_dtype=dtype, precision=precision,
-                          use_pallas=pallas, use_packed=pallas)
+                          use_pallas=pallas, use_packed=pallas,
+                          spatial_mesh=spatial_mesh if pallas else None)
                 cast = tuple(a.astype(dtype) if a.ndim >= 4 else a for a in args)
                 return apply_fn(p, *cast, ctx)
 

@@ -128,6 +128,11 @@ def main(argv=None):
                         help="shard each forward's H axis over this many "
                              "devices (params replicated, GSPMD halo "
                              "exchanges) — multi-chip serving for big stacks")
+    parser.add_argument("--spatial-pallas", action="store_true",
+                        help="with --spatial: keep the fused Pallas chains, "
+                             "run them per-shard behind one halo exchange "
+                             "(needs H %% (32*spatial) == 0; stages whose "
+                             "shape doesn't divide fall back to XLA)")
     args = parser.parse_args(argv)
 
     from dffx.utils.profiling import enable_persistent_cache
@@ -142,7 +147,8 @@ def main(argv=None):
     def make_fwd(root):
         path = args.checkpoint or os.path.join(root, "check_point.pth")
         params = load_params_auto(path, specs, allow_random=args.allow_random_init)
-        return TimedForward(dffnet_apply, params, dtype=dtype, spatial=args.spatial)
+        return TimedForward(dffnet_apply, params, dtype=dtype, spatial=args.spatial,
+                            spatial_pallas=args.spatial_pallas)
 
     if args.dataset == "DefocusNet":
         root = os.path.join(args.results_root, "DefocusNet/")

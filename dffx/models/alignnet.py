@@ -99,23 +99,44 @@ def _head_apply(p, pfx, volume, ctx: Ctx) -> jax.Array:
     the measured E2E latency tail (ROADMAP item 2) — runs as ONE fused Pallas
     chain (4 convs, intermediates in VMEM) instead of four ~1%-MFU XLA convs.
     """
+    from dffx.ops.halo import halo_sharded_chain, spatial_active, spatial_ok
+
     if (ctx.use_pallas and not ctx.train and volume.shape[-1] == 18
-            and volume.shape[3] >= 32):
+            and volume.shape[3] >= 32
+            and (not spatial_active(ctx.spatial_mesh)
+                 or spatial_ok(ctx.spatial_mesh, volume.shape[2]))):
         from dffx.ops.pallas_kernels import bn_fused_affine, motion_head_conv_chain
 
-        def aff(i):
-            q = f"{pfx}.{i}.1"
-            return bn_fused_affine(p[f"{q}.weight"], p[f"{q}.bias"],
-                                   p[f"{q}.running_mean"], p[f"{q}.running_var"])
+        def chain(x, pp):
+            def aff(i):
+                q = f"{pfx}.{i}.1"
+                return bn_fused_affine(pp[f"{q}.weight"], pp[f"{q}.bias"],
+                                       pp[f"{q}.running_mean"],
+                                       pp[f"{q}.running_var"])
 
-        dt = volume.dtype
-        y = motion_head_conv_chain(
-            volume,
-            p[f"{pfx}.0.0.weight"].astype(dt), aff(0),
-            p[f"{pfx}.2.0.weight"].astype(dt), aff(2),
-            p[f"{pfx}.4.0.weight"].astype(dt), aff(4),
-            p[f"{pfx}.6.weight"].astype(dt), p[f"{pfx}.6.bias"],
-        )
+            dt = x.dtype
+            return motion_head_conv_chain(
+                x,
+                pp[f"{pfx}.0.0.weight"].astype(dt), aff(0),
+                pp[f"{pfx}.2.0.weight"].astype(dt), aff(2),
+                pp[f"{pfx}.4.0.weight"].astype(dt), aff(4),
+                pp[f"{pfx}.6.weight"].astype(dt), pp[f"{pfx}.6.bias"],
+            )
+
+        def xla_chain(xl, pp):
+            y = relu(apply_convbn(pp, f"{pfx}.0", xl, ctx, padding=(0, 1, 1)))
+            y = relu(apply_convbn(pp, f"{pfx}.2", y, ctx, padding=(0, 1, 1)))
+            y = relu(apply_convbn(pp, f"{pfx}.4", y, ctx, padding=(0, 1, 1)))
+            return apply_conv(pp, f"{pfx}.6", y, ctx, padding=(0, 1, 1))
+
+        if spatial_ok(ctx.spatial_mesh, volume.shape[2]):
+            # row-local 4-conv chain, receptive radius 4 <= HALO: run it
+            # H-sharded with one halo exchange; the XLA twin patches the
+            # true-edge rows (dffx.ops.halo docstring)
+            y = halo_sharded_chain(chain, volume, ctx.spatial_mesh, p,
+                                   edge_fn=xla_chain)
+        else:
+            y = chain(volume, p)
     else:
         y = relu(apply_convbn(p, f"{pfx}.0", volume, ctx, padding=(0, 1, 1)))
         y = relu(apply_convbn(p, f"{pfx}.2", y, ctx, padding=(0, 1, 1)))

@@ -146,6 +146,10 @@ class Ctx:
     # their late consumers (dres3/dres4) instead of storing them across the
     # forward — frees the two largest boundary tensors for very large batches
     remat_deep: bool = False
+    # serving mesh with a >1 'spatial' axis: run the fused Pallas chains
+    # H-sharded via one halo exchange per chain (dffx.ops.halo) instead of
+    # forcing the XLA path (GSPMD cannot partition a pallas_call)
+    spatial_mesh: Any = None
 
 
 def relu(x: jax.Array) -> jax.Array:
@@ -274,6 +278,12 @@ def _srd_pallas_ok(ctx: Ctx, x) -> bool:
     # more than they save there (e.g. 384^2: 26.6 ms full-res-only vs 29.7
     # all-res; Middlebury 141 vs 151) — XLA fuses the mid-res SRDs with their
     # surrounding ops.  tools/tpu_gate.py still verifies the wider capability.
+    from dffx.ops.halo import spatial_active
+
+    if spatial_active(ctx.spatial_mesh):
+        # standalone fused SRD is not halo-wrapped (only the fm_module chain
+        # is); running it on an H-sharded array would force an all-gather
+        return False
     return (
         ctx.use_pallas
         and not ctx.train
@@ -351,30 +361,56 @@ def fm_module_specs(s: SpecTable, pfx: str) -> None:
     srd_specs(s, f"{pfx}.Focus_extraction.2", 8)
 
 
+def _fm_fused_chain(p, pfx, x, ctx: Ctx) -> jax.Array:
+    """The fused full-res chain, NDHWC in/out: dilated conv+BN+ReLU then the
+    SRD pair, all channel-first Pallas kernels.  Row-local with receptive
+    radius 10 (8 dilated + 2 rb2d + 0 attention) and zero-pad edge semantics —
+    the contract ``dffx.ops.halo.halo_sharded_chain`` relies on."""
+    from dffx.ops.pallas_kernels import bn_fused_affine, fm_conv_bn_relu_cf
+
+    b, n, h, wd, _ = x.shape
+    bnp = f"{pfx}.Focus_extraction.0.1"
+    scale, shift = bn_fused_affine(
+        p[f"{bnp}.weight"], p[f"{bnp}.bias"],
+        p[f"{bnp}.running_mean"], p[f"{bnp}.running_var"],
+    )
+    w = p[f"{pfx}.Focus_extraction.0.0.weight"].astype(x.dtype)
+    xs = x.reshape(b * n, h, wd, 3).transpose(0, 3, 1, 2)
+    y = fm_conv_bn_relu_cf(xs, w, scale, shift)  # (BN, 8, H, W)
+    out = _srd_apply_cf(p, f"{pfx}.Focus_extraction.2", y, b, n, ctx)
+    return out.transpose(0, 2, 3, 1).reshape(b, n, h, wd, 8)
+
+
 def fm_module_apply(p, pfx, x, ctx: Ctx) -> jax.Array:
     """Full-resolution focus-measure extraction: dilated (1,9,9) conv (17x17
     receptive field per slice) + SRD (`Depth_Estimation_Network.py:131-143`).
 
     In eval mode on TPU (``ctx.use_pallas``) the dilated conv+BN+ReLU and the
     SRD run as chained channel-first Pallas kernels — one layout transpose in
-    (3-channel input, cheap) and one out, instead of one per kernel."""
-    if (ctx.use_pallas and not ctx.train and x.shape[2] % 32 == 0
-            and _pallas_shape_ok(x.shape[2], x.shape[3])):
-        from dffx.ops.pallas_kernels import bn_fused_affine, fm_conv_bn_relu_cf
-
-        b, n, h, wd, _ = x.shape
-        bnp = f"{pfx}.Focus_extraction.0.1"
-        scale, shift = bn_fused_affine(
-            p[f"{bnp}.weight"], p[f"{bnp}.bias"],
-            p[f"{bnp}.running_mean"], p[f"{bnp}.running_var"],
+    (3-channel input, cheap) and one out, instead of one per kernel.  With
+    ``ctx.spatial_mesh`` the chain runs H-sharded (one halo exchange)."""
+    def xla_chain(xl, pp):
+        y = relu(
+            apply_convbn(pp, f"{pfx}.Focus_extraction.0", xl, ctx,
+                         padding=(0, 8, 8), dilation=(1, 2, 2))
         )
-        w = p[f"{pfx}.Focus_extraction.0.0.weight"].astype(x.dtype)
-        xs = x.reshape(b * n, h, wd, 3).transpose(0, 3, 1, 2)
-        y = fm_conv_bn_relu_cf(xs, w, scale, shift)  # (BN, 8, H, W)
-        out = _srd_apply_cf(p, f"{pfx}.Focus_extraction.2", y, b, n, ctx)
-        return out.transpose(0, 2, 3, 1).reshape(b, n, h, wd, 8)
-    y = relu(
-        apply_convbn(p, f"{pfx}.Focus_extraction.0", x, ctx,
-                     padding=(0, 8, 8), dilation=(1, 2, 2))
-    )
-    return srd_apply(p, f"{pfx}.Focus_extraction.2", y, ctx)
+        return srd_apply(pp, f"{pfx}.Focus_extraction.2", y, ctx)
+
+    if ctx.use_pallas and not ctx.train:
+        from dffx.ops.halo import HALO, halo_sharded_chain, spatial_ok
+
+        h, wd = x.shape[2], x.shape[3]
+        if spatial_ok(ctx.spatial_mesh, h):
+            s = ctx.spatial_mesh.shape["spatial"]
+            if _pallas_shape_ok(h // s + 2 * HALO, wd):
+                # edge_fn = the XLA twin: recomputes the few true-edge rows
+                # the zero halo can't make exact (dffx.ops.halo docstring);
+                # _srd_pallas_ok already forces its XLA path under a spatial
+                # mesh, so xla_chain is pallas-free here
+                return halo_sharded_chain(
+                    lambda xl, pp: _fm_fused_chain(pp, pfx, xl, ctx),
+                    x, ctx.spatial_mesh, p, edge_fn=xla_chain,
+                )
+        elif h % 32 == 0 and _pallas_shape_ok(h, wd):
+            return _fm_fused_chain(p, pfx, x, ctx)
+    return xla_chain(x, p)

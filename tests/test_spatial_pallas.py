@@ -1,0 +1,172 @@
+"""Spatial (H-sharded) fused-chain execution: `dffx.ops.halo`.
+
+VERDICT r3 item 5: the fused Pallas chains and --spatial sharding used to
+cancel (GSPMD can't partition a pallas_call, so spatial forced the XLA path).
+These tests pin the halo-exchange wrapper's exactness on the virtual 8-CPU
+mesh: per-shard execution behind ONE halo exchange must be bit-comparable to
+the unsharded chain, including the zero-pad semantics at the true image edge
+(ppermute zero-fill) and at interior cuts (discarded halo rows).
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from dffx.ops.halo import HALO, halo_sharded_chain, spatial_active, spatial_ok
+from dffx.parallel import make_mesh
+
+
+@pytest.fixture
+def interpret_pallas(monkeypatch):
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+
+
+def _conv2d_rows(x, k):
+    """Zero-padded NDHWC depthwise-ish test chain: (B,N,H,W,C) 3x3 conv
+    twice + relu — row-local, radius 2, same edge semantics as the kernels."""
+    b, n, h, w, c = x.shape
+    xs = x.reshape(b * n, h, w, c)
+    y = jax.lax.conv_general_dilated(
+        xs, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = jnp.maximum(y, 0)
+    y = jax.lax.conv_general_dilated(
+        y, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y.reshape(b, n, h, w, c)
+
+
+@pytest.mark.parametrize("spatial", [2, 4, 8])
+def test_halo_wrapper_is_exact_on_xla_chain(rng, spatial):
+    """Wrapper correctness in isolation: an XLA conv chain (radius 2) run
+    H-sharded, with its own zero-pad twin as edge_fn, must equal the
+    unsharded result on every row."""
+    mesh = make_mesh(jax.devices()[:spatial], data=1, spatial=spatial)
+    h = 32 * spatial
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 3, h, 64, 4)).astype(np.float32))
+    k = jnp.asarray((rng.standard_normal((3, 3, 4, 4)) * 0.2).astype(np.float32))
+
+    chain = lambda xl, kk: _conv2d_rows(xl, kk)  # noqa: E731
+    ref = _conv2d_rows(x, k)
+    got = halo_sharded_chain(chain, x, mesh, k, edge_fn=chain)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_halo_edge_bleed_is_bounded_without_edge_fn(rng):
+    """Documents WHY edge_fn exists: without it, only rows within EDGE_ROWS
+    of the true image edges may differ (the zero halo acts as zero pixels,
+    not zero padding of intermediates); every interior row is exact."""
+    from dffx.ops.halo import EDGE_ROWS
+
+    mesh = make_mesh(jax.devices()[:2], data=1, spatial=2)
+    h = 64
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 3, h, 64, 4)).astype(np.float32))
+    k = jnp.asarray((rng.standard_normal((3, 3, 4, 4)) * 0.2).astype(np.float32))
+
+    ref = np.asarray(_conv2d_rows(x, k))
+    got = np.asarray(
+        halo_sharded_chain(lambda xl, kk: _conv2d_rows(xl, kk), x, mesh, k)
+    )
+    bad_rows = np.nonzero(np.abs(got - ref).max(axis=(0, 1, 3, 4)) > 1e-6)[0]
+    assert len(bad_rows) > 0, "expected edge bleed — did ppermute semantics change?"
+    assert all(r < EDGE_ROWS or r >= h - EDGE_ROWS for r in bad_rows), bad_rows
+
+
+def test_spatial_ok_gates():
+    mesh2 = make_mesh(jax.devices()[:2], data=1, spatial=2)
+    mesh1 = make_mesh(jax.devices()[:2], data=2, spatial=1)
+    assert spatial_active(mesh2) and not spatial_active(mesh1)
+    assert not spatial_active(None)
+    assert spatial_ok(mesh2, 128) and spatial_ok(mesh2, 64)
+    assert not spatial_ok(mesh2, 96)  # 96 / 2 = 48, not x32
+    assert not spatial_ok(mesh1, 128)  # no spatial axis to shard over
+    assert not spatial_ok(None, 128)
+
+
+@pytest.mark.parametrize("spatial", [2, 4])
+def test_dffnet_spatial_pallas_matches_xla(interpret_pallas, rng, spatial):
+    """Full model: Ctx(use_pallas, spatial_mesh) — the fm fused chain runs
+    H-sharded — must match the plain XLA forward."""
+    from dffx.models import Ctx, dffnet_apply, init_params, network_specs
+    from dffx.models.layers import _pallas_shape_ok
+
+    mesh = make_mesh(jax.devices()[:spatial], data=1, spatial=spatial)
+    h, w = 32 * spatial * 2, 128
+    assert spatial_ok(mesh, h)
+    assert _pallas_shape_ok(h // spatial + 2 * HALO, w)
+    params = init_params(network_specs(), seed=0)
+    fs = jnp.asarray(rng.uniform(-1, 1, (1, 5, h, w, 3)).astype(np.float32))
+    fd = jnp.asarray(np.linspace(0.1, 1.5, 5, dtype=np.float32)[None])
+
+    ref = dffnet_apply(params, fs, fd, Ctx())
+    got = dffnet_apply(params, fs, fd, Ctx(use_pallas=True, spatial_mesh=mesh))
+    for g, r, name in zip(got, ref, ["mid", "p1", "p2", "p3"]):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=5e-5, err_msg=name
+        )
+
+
+def test_dffnet_spatial_pallas_indivisible_h_falls_back(interpret_pallas, rng):
+    """H not divisible by 32*spatial: the fused stages must fall back to XLA
+    per-shape (no crash, no gather of a pallas input) and stay correct."""
+    from dffx.models import Ctx, dffnet_apply, init_params, network_specs
+
+    mesh = make_mesh(jax.devices()[:4], data=1, spatial=4)
+    h, w = 96, 128  # 96 % (32*4) != 0
+    params = init_params(network_specs(), seed=0)
+    fs = jnp.asarray(rng.uniform(-1, 1, (1, 5, h, w, 3)).astype(np.float32))
+    fd = jnp.asarray(np.linspace(0.1, 1.5, 5, dtype=np.float32)[None])
+
+    ref = dffnet_apply(params, fs, fd, Ctx())
+    got = dffnet_apply(params, fs, fd, Ctx(use_pallas=True, spatial_mesh=mesh))
+    for g, r, name in zip(got, ref, ["mid", "p1", "p2", "p3"]):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=5e-5, err_msg=name
+        )
+
+
+def test_e2e_motion_head_spatial_matches_xla(interpret_pallas, rng):
+    """E2E model with the fused motion-head chain H-sharded."""
+    from dffx.models import Ctx, e2e_apply, e2e_network_specs, init_params
+
+    mesh = make_mesh(jax.devices()[:2], data=1, spatial=2)
+    n, h, w = 10, 64, 128  # E2E contract: N = 10 (AdaptiveAvgPool3d((10,1,1)))
+    assert spatial_ok(mesh, h)
+    params = init_params(e2e_network_specs(), seed=0)
+    fs = jnp.asarray(rng.uniform(-1, 1, (1, n, h, w, 3)).astype(np.float32))
+    fd = jnp.asarray((1.0 / np.linspace(0.2, 3.0, n)).astype(np.float32)[None])
+    fovs = jnp.asarray(np.linspace(1.0, 1.02, n, dtype=np.float32)[None])
+
+    ref = e2e_apply(params, fs, fd, fovs, Ctx())
+    got = e2e_apply(params, fs, fd, fovs,
+                    Ctx(use_pallas=True, spatial_mesh=mesh))
+    for g, r, name in zip(got, ref, ["mid", "p1", "p2", "p3", "warped"]):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=1e-4, err_msg=name
+        )
+
+
+def test_timed_forward_spatial_pallas(interpret_pallas, rng):
+    """--spatial-pallas end to end: TimedForward on a (1,4) mesh with the
+    fused chains kept must match the plain single-device XLA forward."""
+    from dffx.eval.common import TimedForward
+    from dffx.models import Ctx, dffnet_apply, init_params, network_specs
+
+    params = init_params(network_specs(), seed=0)
+    h, w = 128, 128
+    fs = rng.uniform(-1, 1, (1, 5, h, w, 3)).astype(np.float32)
+    fd = np.linspace(0.1, 1.5, 5, dtype=np.float32)[None]
+
+    ref = dffnet_apply(params, jnp.asarray(fs), jnp.asarray(fd), Ctx())
+    fwd = TimedForward(dffnet_apply, params, spatial=4, spatial_pallas=True,
+                       use_pallas=True)
+    got = fwd(fs, fd)
+    for g, r, name in zip(got, ref, ["mid", "p1", "p2", "p3"]):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=5e-5, err_msg=name
+        )

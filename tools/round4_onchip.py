@@ -140,6 +140,13 @@ def main() -> int:
             return True
         return not (done.get(name, {}).get("rc") == 0)
 
+    # bench first: it is the round's graded artifact (headline + train points
+    # + e2e + its own pallas gate) — if the tunnel drops mid-queue, this is
+    # the record that matters most
+    if want("bench"):
+        done["bench"] = run_step("bench", [py, os.path.join(REPO, "bench.py")],
+                                 timeout=5400)
+
     if want("gate_main"):
         done["gate_main"] = run_step(
             "gate_main", [py, os.path.join(HERE, "tpu_gate.py")], timeout=2400)
@@ -188,10 +195,6 @@ def main() -> int:
             "simulator", [py, "-c",
                           "import bench, json; print(json.dumps({'simulator_scenes_per_sec': round(bench.bench_simulator(), 3)}))"],
             timeout=1200)
-
-    if want("bench"):
-        done["bench"] = run_step("bench", [py, os.path.join(REPO, "bench.py")],
-                                 timeout=5400)
 
     bad = [k for k, v in done.items() if v.get("rc") not in (0, -1)]
     print(json.dumps({"onchip": "done", "failed_steps": bad}))
