@@ -63,9 +63,10 @@ class TimedForward:
     ``spatial > 1`` serves each forward over a ``(1, spatial)`` device mesh:
     params replicated, inputs sharded along H, halo exchanges inserted by
     GSPMD (SURVEY §5 spatial-parallel serving; the reference's multi-GPU
-    inference analogue is ``nn.DataParallel``, `test.py:32`).  Spatial
-    sharding composes with the Pallas fast path only per-shard; the fused
-    kernels assume whole rows, so ``spatial > 1`` forces the XLA path."""
+    inference analogue is ``nn.DataParallel``, `test.py:32`).  By default
+    ``spatial > 1`` serves on the XLA path (GSPMD halos); with
+    ``spatial_pallas=True`` the fused chains stay enabled and run per-shard
+    behind one explicit halo exchange (``dffx.ops.halo``)."""
 
     def __init__(self, apply_fn, params, *, dtype=jnp.float32, precision=None,
                  use_pallas: Optional[bool] = None, spatial: int = 1,

@@ -397,7 +397,8 @@ def fm_module_apply(p, pfx, x, ctx: Ctx) -> jax.Array:
         return srd_apply(pp, f"{pfx}.Focus_extraction.2", y, ctx)
 
     if ctx.use_pallas and not ctx.train:
-        from dffx.ops.halo import HALO, halo_sharded_chain, spatial_ok
+        from dffx.ops.halo import (HALO, halo_sharded_chain, spatial_active,
+                                   spatial_ok)
 
         h, wd = x.shape[2], x.shape[3]
         if spatial_ok(ctx.spatial_mesh, h):
@@ -411,6 +412,10 @@ def fm_module_apply(p, pfx, x, ctx: Ctx) -> jax.Array:
                     lambda xl, pp: _fm_fused_chain(pp, pfx, xl, ctx),
                     x, ctx.spatial_mesh, p, edge_fn=xla_chain,
                 )
-        elif h % 32 == 0 and _pallas_shape_ok(h, wd):
+        elif (not spatial_active(ctx.spatial_mesh)
+              and h % 32 == 0 and _pallas_shape_ok(h, wd)):
+            # unsharded fused chain ONLY when no spatial mesh is live: with
+            # H-sharded inputs an unwrapped pallas_call would make GSPMD
+            # all-gather the stack — worse than the per-stage XLA fallback
             return _fm_fused_chain(p, pfx, x, ctx)
     return xla_chain(x, p)

@@ -129,6 +129,35 @@ def test_dffnet_spatial_pallas_indivisible_h_falls_back(interpret_pallas, rng):
             np.asarray(g), np.asarray(r), atol=5e-5, err_msg=name
         )
 
+    # the fallback must be XLA per-stage, not an unsharded pallas_call on the
+    # H-sharded stack (GSPMD would all-gather the pallas input)
+    jaxpr = jax.make_jaxpr(
+        lambda pp, f_, d_: dffnet_apply(
+            pp, f_, d_, Ctx(use_pallas=True, spatial_mesh=mesh))
+    )(params, fs, fd)
+    assert not _has_pallas_call(jaxpr.jaxpr), (
+        "indivisible-H spatial forward still contains a pallas_call")
+
+
+def _has_pallas_call(jaxpr) -> bool:
+    def sub_jaxprs(v):
+        if isinstance(v, (list, tuple)):
+            for item in v:
+                yield from sub_jaxprs(item)
+        else:
+            inner = getattr(v, "jaxpr", None)
+            if inner is not None:
+                yield inner
+
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "pallas_call":
+            return True
+        for v in eqn.params.values():
+            for inner in sub_jaxprs(v):
+                if _has_pallas_call(inner):
+                    return True
+    return False
+
 
 def test_e2e_motion_head_spatial_matches_xla(interpret_pallas, rng):
     """E2E model with the fused motion-head chain H-sharded."""
