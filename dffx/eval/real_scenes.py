@@ -27,6 +27,15 @@ def main(argv=None):
     parser.add_argument("--out", type=str, default="test/")
     parser.add_argument("--dtype", choices=["fp32", "bf16"], default="fp32")
     parser.add_argument("--allow-random-init", action="store_true")
+    parser.add_argument("--spatial", type=int, default=1,
+                        help="shard each forward's H axis over this many "
+                             "devices (params replicated, GSPMD halo "
+                             "exchanges) — multi-chip serving for big stacks")
+    parser.add_argument("--spatial-pallas", action="store_true",
+                        help="with --spatial: keep the fused Pallas chains, "
+                             "run them per-shard behind one halo exchange "
+                             "(needs H %% (32*spatial) == 0; stages whose "
+                             "shape doesn't divide fall back to XLA)")
     args = parser.parse_args(argv)
 
     from dffx.utils.profiling import enable_persistent_cache
@@ -43,7 +52,8 @@ def main(argv=None):
     def apply_fn(p, fs, fd, fovs, ctx):
         return e2e_apply(p, fs, fd, fovs, ctx)
 
-    fwd = TimedForward(apply_fn, params, dtype=dtype)
+    fwd = TimedForward(apply_fn, params, dtype=dtype, spatial=args.spatial,
+                       spatial_pallas=args.spatial_pallas)
     dataset = RealScenesDataset(root=args.data_root)
 
     for idx in range(len(dataset)):

@@ -141,6 +141,21 @@ def test_real_scenes_cli(tmp_path, capsys, monkeypatch):
     assert len(warped) == 10
     assert "AVG_time" in capsys.readouterr().out
 
+    # spatial serving flags plumb through (exactness is pinned by
+    # tests/test_spatial_pallas.py; this is the CLI path on the CPU mesh)
+    out_sp = str(tmp_path / "out_sp") + "/"
+    RS.main(
+        [
+            "--data-root", str(tmp_path / "scenes"),
+            "--out", out_sp,
+            "--allow-random-init",
+            "--spatial", "2",
+            "--spatial-pallas",
+        ]
+    )
+    assert os.path.exists(os.path.join(out_sp, "depth", "0.jpg"))
+    assert "AVG_time" in capsys.readouterr().out
+
 
 def test_timed_forward_pallas_compile_fallback():
     """A fused-path compile failure at first call must fall back to the XLA
