@@ -19,6 +19,7 @@ kernel wins back many times over.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -266,15 +267,26 @@ def rb2d_residual(x: jax.Array, w1, aff1, w2, aff2) -> jax.Array:
 _RB_W_CAP = {8: 384, 16: 384, 32: 256}
 
 
+def _w_cap(table: dict, c: int, default: int, env: str) -> int:
+    """Per-channel W-split cap, overridable via ``env`` (int, applies to every
+    channel count) for on-chip sweeps — the cap values above were tuned before
+    the round-3 kernel changes and are flagged for re-measurement."""
+    v = os.environ.get(env)
+    return int(v) if v else table.get(c, default)
+
+
 def rb2d_residual_cf(xs: jax.Array, w1, aff1, w2, aff2) -> jax.Array:
     """Channel-first core: (BN, C, H, W) -> (BN, C, H, W)."""
     bn_, c, h, wd = xs.shape
     assert h % RB_H_TILE == 0
-    cap = _RB_W_CAP.get(c, 256)
-    if wd > cap:
+    cap = _w_cap(_RB_W_CAP, c, 256, "DFFX_RB_W_CAP")
+    mid = max(wd // 2 // 128, 1) * 128
+    # mid + 2 < wd guards termination: a chunk must be strictly narrower than
+    # its parent (chunk width is mid + the 2-column halo), else a cap within
+    # a halo of wd would recurse forever
+    if wd > cap and mid + 2 < wd:
         # split W with the stacked 3x3 pair's 2-column halo; kept outputs
         # only ever read real columns, so zero-pad semantics are preserved
-        mid = max(wd // 2 // 128, 1) * 128
         left = rb2d_residual_cf(xs[..., : mid + 2], w1, aff1, w2, aff2)[..., :mid]
         right = rb2d_residual_cf(xs[..., mid - 2 :], w1, aff1, w2, aff2)[..., 2:]
         return jnp.concatenate([left, right], axis=-1)
@@ -448,11 +460,12 @@ def motion_head_conv_chain_cf(xs, w0, aff0, w1, aff1, w2, aff2, w3, bias3):
     """Channel-first core: (BN, cin, H, W) -> (BN, 3, H, W)."""
     bn_, cin, h, wd = xs.shape
     c = w0.shape[4]
-    cap = _MH_W_CAP.get(c, 128)
-    if wd > cap:
+    cap = _w_cap(_MH_W_CAP, c, 128, "DFFX_MH_W_CAP")
+    mid = max(wd // 2 // 128, 1) * 128
+    # mid + 4 < wd: same termination guard as rb2d (chunk = mid + 4-col halo)
+    if wd > cap and mid + 4 < wd:
         # 4-conv chain: 4 contaminated columns per interior chunk edge
         # (conv0's window uses zero pad instead of neighbor data, +1/conv)
-        mid = max(wd // 2 // 128, 1) * 128
         left = motion_head_conv_chain_cf(
             xs[..., : mid + 4], w0, aff0, w1, aff1, w2, aff2, w3, bias3
         )[..., :mid]

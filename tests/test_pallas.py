@@ -280,3 +280,35 @@ def test_flownet_pallas_path_matches_xla(interpret_pallas, rng):
     got_w, got_m = flownet_apply(params, fs, fovs, Ctx(use_pallas=True))
     np.testing.assert_allclose(np.asarray(got_m), np.asarray(ref_m), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_w), np.asarray(ref_w), atol=1e-5)
+
+
+def test_w_cap_env_override_is_exact(interpret_pallas, rng, monkeypatch):
+    """DFFX_RB_W_CAP / DFFX_MH_W_CAP (on-chip sweep hooks) must only move the
+    W-split point, never the numerics: forcing a split at a narrow shape must
+    match the unsplit result exactly."""
+    from dffx.ops.pallas_kernels import (motion_head_conv_chain,
+                                         rb2d_residual)
+
+    c, h, w = 8, 32, 256
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 2, h, w, c)).astype(np.float32))
+    w1 = jnp.asarray((rng.standard_normal((1, 3, 3, c, c)) * 0.1).astype(np.float32))
+    w2 = jnp.asarray((rng.standard_normal((1, 3, 3, c, c)) * 0.1).astype(np.float32))
+    aff = (jnp.ones(c), jnp.zeros(c))
+    ref = rb2d_residual(x, w1, aff, w2, aff)
+    monkeypatch.setenv("DFFX_RB_W_CAP", "128")
+    got = rb2d_residual(x, w1, aff, w2, aff)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    cin, cm = 18, 16
+    xm = jnp.asarray(rng.uniform(-1, 1, (1, 2, h, w, cin)).astype(np.float32))
+    wts = []
+    for ci, co in [(cin, cm), (cm, cm), (cm, cm)]:
+        wts.append(jnp.asarray(
+            (rng.standard_normal((1, 3, 3, ci, co)) * 0.1).astype(np.float32)))
+    w3 = jnp.asarray((rng.standard_normal((1, 3, 3, cm, 3)) * 0.1).astype(np.float32))
+    b3 = jnp.asarray(np.zeros(3, np.float32))
+    affm = (jnp.ones(cm), jnp.zeros(cm))
+    refm = motion_head_conv_chain(xm, wts[0], affm, wts[1], affm, wts[2], affm, w3, b3)
+    monkeypatch.setenv("DFFX_MH_W_CAP", "128")
+    gotm = motion_head_conv_chain(xm, wts[0], affm, wts[1], affm, wts[2], affm, w3, b3)
+    np.testing.assert_array_equal(np.asarray(gotm), np.asarray(refm))
