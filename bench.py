@@ -277,13 +277,36 @@ def bench_reference_cpu() -> float:
     return sps
 
 
-def last_known_good() -> dict:
+def last_known_good(here: str | None = None) -> dict:
     """Most recent BENCH_r*.json with a non-null headline value, so a
-    tunnel-outage round still carries the measured history inline."""
+    tunnel-outage round still carries the measured history inline.
+
+    The driver writes BENCH_r*.json as a wrapper ``{"n", "cmd", "rc",
+    "tail", "parsed"}`` where ``parsed`` (or a JSON line inside ``tail``)
+    holds the bench record — unwrap before reading ``value``."""
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    def unwrap(rec):
+        if not isinstance(rec, dict):
+            return None
+        if "value" in rec:
+            return rec
+        if isinstance(rec.get("parsed"), dict) and "value" in rec["parsed"]:
+            return rec["parsed"]
+        for line in reversed(str(rec.get("tail", "")).splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    inner = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if isinstance(inner, dict) and "value" in inner:
+                    return inner
+        return None
+
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     best = {}
     for path in sorted(
         glob.glob(os.path.join(here, "BENCH_r*.json")),
@@ -291,10 +314,10 @@ def last_known_good() -> dict:
     ):
         try:
             with open(path) as f:
-                rec = json.load(f)
+                rec = unwrap(json.load(f))
         except (OSError, json.JSONDecodeError):
             continue
-        if isinstance(rec, dict) and rec.get("value") is not None:
+        if rec is not None and rec.get("value") is not None:
             best = {"round": os.path.basename(path), **rec}
     return best
 
