@@ -204,7 +204,13 @@ def probe_backend(timeout: int = 240) -> str:
     # so the child resolves the same jax backend the parent is about to init
     env = dict(os.environ)
     env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
+    # the parent expects a device platform when pinned via JAX_PLATFORMS OR
+    # when the axon plugin is armed through sitecustomize (PYTHONPATH +
+    # PALLAS_AXON_POOL_IPS) — a CPU-falling probe must not green-light either
     expected = env.get("JAX_PLATFORMS", "")
+    if (not expected and env.get("PALLAS_AXON_POOL_IPS")
+            and "axon_site" in env.get("PYTHONPATH", "")):
+        expected = "axon"
     try:
         out = subprocess.run(
             [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
@@ -307,11 +313,14 @@ def last_known_good(here: str | None = None) -> dict:
 
     if here is None:
         here = os.path.dirname(os.path.abspath(__file__))
+
+    def round_no(p: str) -> int:
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1  # digit-less names sort first
+
     best = {}
-    for path in sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    ):
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                       key=round_no):
         try:
             with open(path) as f:
                 rec = unwrap(json.load(f))

@@ -113,9 +113,19 @@ class TimedForward:
 
             self._put_one = put_one
         if use_pallas is None:
-            use_pallas = (
-                jax.devices()[0].platform == "tpu" and dtype == jnp.bfloat16
-            )
+            on_tpu = jax.devices()[0].platform == "tpu"
+            if self._spatial_mesh is not None:
+                # --spatial-pallas is an explicit request for the fused
+                # chains: honor it in any dtype on TPU (they are exact
+                # reparameterizations; bf16 is where they win, but a
+                # silently-inert flag would mislabel the spatial A/B)
+                use_pallas = on_tpu
+                if not on_tpu:
+                    print("[dffx] --spatial-pallas has no effect off-TPU — "
+                          "serving on the XLA path under GSPMD halos")
+                    self._spatial_mesh = None
+            else:
+                use_pallas = on_tpu and dtype == jnp.bfloat16
         # Pallas fast paths are exact reparameterizations of the XLA path, so
         # an XLA retry is always numerically safe.  Mosaic failures surface at
         # jit-COMPILE time (first call), not at trace time — the fallback
@@ -156,11 +166,18 @@ class TimedForward:
         try:
             outs = self._jitted(self.params, *args)
             outs = jax.block_until_ready(outs)
-        except Exception:
-            if not self._use_pallas:
+        except Exception as e:
+            # Mosaic/compile failures surface on the FIRST call of a shape;
+            # later-call errors (OOM mid-eval, device loss) are real failures
+            # that must propagate, not silently switch paths mid-measurement
+            if not self._use_pallas or self.count > 0:
                 raise
-            print("[dffx] fused Pallas path failed to compile — "
-                  "retrying on the XLA path")
+            import traceback
+
+            traceback.print_exc()
+            print(f"[dffx] fused Pallas path failed on the first call "
+                  f"({type(e).__name__}; traceback above) — retrying on the "
+                  f"XLA path")
             self._use_pallas = False
             self._jitted = self._make_jitted(False)
             t0 = time.time()

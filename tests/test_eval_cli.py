@@ -182,3 +182,45 @@ def test_timed_forward_pallas_compile_fallback():
     fwd(x)
     assert calls == [True, False]  # cached jit, no retrace
     assert fwd.count == 2
+
+
+def test_timed_forward_later_call_errors_propagate():
+    """The XLA-retry fallback is for FIRST-call compile failures only: an
+    error on a later call (OOM mid-eval, device loss) must propagate, not
+    silently switch serving paths mid-measurement."""
+    import jax.numpy as jnp
+
+    from dffx.eval.common import TimedForward
+
+    state = {"fail": False}
+
+    def apply_fn(params, x, ctx):
+        if state["fail"]:
+            raise RuntimeError("RESOURCE_EXHAUSTED: hbm")
+        return (x * params,)
+
+    fwd = TimedForward(apply_fn, jnp.asarray(2.0), use_pallas=True)
+    x = jnp.ones((1, 2, 32, 32, 3))
+    fwd(x)
+    assert fwd._use_pallas is True
+    state["fail"] = True
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        fwd(jnp.ones((1, 2, 64, 32, 3)))  # new shape -> retrace -> error
+    assert fwd._use_pallas is True  # no silent path switch
+
+
+def test_spatial_pallas_flag_not_silently_inert(capsys):
+    """--spatial-pallas with use_pallas unresolved (None) must be honored on
+    the device platform regardless of dtype, and must WARN + drop the mesh
+    off-TPU — never silently measure the XLA path under a 'pallas' label."""
+    import jax.numpy as jnp
+
+    from dffx.eval.common import TimedForward
+    from dffx.models import dffnet_apply, init_params, network_specs
+
+    params = init_params(network_specs(), seed=0)
+    fwd = TimedForward(dffnet_apply, params, dtype=jnp.float32, spatial=2,
+                       spatial_pallas=True)  # use_pallas=None, CPU platform
+    assert fwd._spatial_mesh is None
+    assert fwd._use_pallas is False
+    assert "--spatial-pallas has no effect off-TPU" in capsys.readouterr().out

@@ -9,7 +9,10 @@ only the in-flight step.
 
     python tools/round4_onchip.py [--only STEP[,STEP]] [--redo STEP[,STEP]]
 
-Queue (VERDICT r3 "Next round" items 2, 3, 5, 6):
+Queue, in EXECUTION order (VERDICT r3 "Next round" items 2, 3, 5, 6) — bench
+runs FIRST because it is the round's graded artifact; if the tunnel drops
+mid-queue that is the record that matters most:
+  bench           the full headline bench.py (writes the round artifact line)
   gate_main       tools/tpu_gate.py on main's kernels (incl. the r3 fused
                   motion head that never reached hardware)
   gate_kyshift    the same gate on the ky-shift-experiment branch kernels,
@@ -22,7 +25,6 @@ Queue (VERDICT r3 "Next round" items 2, 3, 5, 6):
   train_ladder    train-step ladder b32..b512 (bench_train; deep remat rows)
   e2e_ms          fused E2E forward latency at 10x608x1088
   simulator       scenes/s
-  bench           the full headline bench.py (writes the round artifact line)
 """
 
 from __future__ import annotations
@@ -133,12 +135,22 @@ def main() -> int:
     py = sys.executable
     done = done_steps()
 
+    def gate_passed(rec) -> bool:
+        return rec.get("rc") == 0 and any(
+            '"pallas_gate": "pass"' in line
+            for line in rec.get("stdout_tail", []))
+
     def want(name):
         if only is not None and name not in only:
             return False
         if name in redo:
             return True
-        return not (done.get(name, {}).get("rc") == 0)
+        rec = done.get(name, {})
+        if name in ("gate_main", "gate_kyshift"):
+            # tpu_gate exits 0 with pallas_gate "skipped" when the child
+            # lands off-TPU — rc alone must not mark a gate complete
+            return not gate_passed(rec)
+        return not (rec.get("rc") == 0)
 
     # bench first: it is the round's graded artifact (headline + train points
     # + e2e + its own pallas gate) — if the tunnel drops mid-queue, this is
@@ -197,6 +209,9 @@ def main() -> int:
             timeout=1200)
 
     bad = [k for k, v in done.items() if v.get("rc") not in (0, -1)]
+    bad += [k for k in ("gate_main", "gate_kyshift")
+            if k in done and done[k].get("rc") == 0
+            and not gate_passed(done[k])]  # rc=0 but gate "skipped" off-TPU
     print(json.dumps({"onchip": "done", "failed_steps": bad}))
     return 0 if not bad else 1
 
