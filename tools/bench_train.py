@@ -33,12 +33,15 @@ def main():
                                 (32, jnp.bfloat16, False), (32, jnp.bfloat16, True),
                                 (64, jnp.bfloat16, True), (128, jnp.bfloat16, True),
                                 (128, jnp.bfloat16, "deep"),
-                                (256, jnp.bfloat16, "deep"),
-                                # r3 found step time batch-FLAT b64->b128 — if
-                                # deep remat frees the HBM, bigger batches are
-                                # near-free throughput (VERDICT r3 item 6)
-                                (384, jnp.bfloat16, "deep"),
-                                (512, jnp.bfloat16, "deep")]:
+                                # r3 found step time batch-FLAT b64->b128; r4
+                                # measured b256 deep OOM (the per-stage backward
+                                # working set — ~980 MB bf16 half-res temps —
+                                # exceeds 16 GB HBM even with the skips freed),
+                                # so the ladder probes the b128..b256 gap for
+                                # the real ceiling (VERDICT r3 item 6)
+                                (160, jnp.bfloat16, "deep"),
+                                (192, jnp.bfloat16, "deep"),
+                                (224, jnp.bfloat16, "deep")]:
         bdata = {
             # staged fp16→bf16 (a b256 fp32 staging copy alone is 6 GB)
             "fs": jnp.asarray(
