@@ -36,24 +36,33 @@ def _dot_precision(dtype):
 
 
 H_TILE = 32
-K_TAPS = 9 * 9 * 3  # ky, kx, cin
-K_PAD = 256
+KY_TAPS = 9 * 3  # ky, cin — kx is handled by sliced per-kx dots
+KY_PAD = 32
 
 
-def _fm_conv_kernel(xa_ref, xb_ref, w_ref, scale_ref, shift_ref, o_ref, window, patches):
+def _fm_conv_kernel(xa_ref, xb_ref, w_ref, scale_ref, shift_ref, o_ref, window,
+                    kyp, *, w_real: int):
     """Grid = (B*N slices, H row-tiles); channel-first layouts.
 
-    xa/xb:    (1, 3, H_TILE, W + 16) row blocks t and t+1 of the padded slice
+    xa/xb:    (1, 3, H_TILE, W) row blocks t and t+1 of the padded slice
               (rows lead-padded by 8, so tile t's H_TILE+16-row window is all
               of block t plus the first 16 rows of block t+1) — streaming two
               blocks bounds VMEM by the tile, not by H*W, so any eval
               resolution fits (round-1's whole-slice BlockSpec forced the
               384^2 area cap)
-    w_ref:    (K_PAD, 8)  K index = (ky*9 + kx)*3 + cin
+    w_ref:    (9, KY_PAD, 8)  leading dim = kx; K index = ky*3 + cin
     scale/shift: (8, 1) fused eval-BN affine (fp32)
     o_ref:    (1, 8, H_TILE, W) — one row tile
-    window:   (3, H_TILE + 16, W + 16) scratch — the tile's input rows
-    patches:  (K_PAD, H_TILE, W) scratch, input dtype
+    window:   (3, H_TILE + 16, W) scratch — the tile's input rows
+    kyp:      (KY_PAD, H_TILE, W) scratch, input dtype
+
+    ky-shift-only im2col (round 3): patches are built for the 9 ky row
+    shifts ONLY (27 copies vs the old 9x9x3 = 243 — the full patch matrix
+    was copy-bound at batch 1), and the 9 dilated kx column shifts come
+    from lane-rolling the per-kx dot outputs with wrap-around masked at
+    the true image edges (exactly the conv's zero-pad semantics: columns
+    are NOT host-padded, so every operand keeps the 128-multiple lane
+    extent Mosaic requires of dot inputs).  Same MACs — K splits 256→9x32.
     """
     w = o_ref.shape[3]
     # all copies below are static — Mosaic (as deployed here) crashes on
@@ -62,21 +71,30 @@ def _fm_conv_kernel(xa_ref, xb_ref, w_ref, scale_ref, shift_ref, o_ref, window, 
     window[:, H_TILE:, :] = xb_ref[0, :, :16, :]
     # zero the K padding rows: scratch memory is uninitialized and 0 * garbage
     # (or NaN) would poison the fp32 accumulation
-    patches[K_TAPS:, :, :] = jnp.zeros((K_PAD - K_TAPS, H_TILE, w), patches.dtype)
+    kyp[KY_TAPS:, :, :] = jnp.zeros((KY_PAD - KY_TAPS, H_TILE, w), kyp.dtype)
     for ky in range(9):
-        for kx in range(9):
-            for c in range(3):
-                row = (ky * 9 + kx) * 3 + c
-                patches[row, :, :] = window[
-                    c, 2 * ky : 2 * ky + H_TILE, 2 * kx : 2 * kx + w
-                ]
-    acc = jax.lax.dot_general(
-        w_ref[:],
-        patches[:],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_dot_precision(patches.dtype),
-    )  # (8, H_TILE, W)
+        for c in range(3):
+            kyp[ky * 3 + c, :, :] = window[c, 2 * ky : 2 * ky + H_TILE, :]
+    prec = _dot_precision(kyp.dtype)
+    col = jax.lax.broadcasted_iota(jnp.int32, (H_TILE, w), 1)[None]
+    acc = jnp.zeros((8, H_TILE, w), jnp.float32)
+    for kx in range(9):
+        d = jax.lax.dot_general(
+            w_ref[kx],
+            kyp[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )  # (8, H_TILE, W); tap kx contributes d[j + s], s = 2*(kx - 4)
+        s = 2 * (kx - 4)
+        if s == 0:
+            acc = acc + d
+        elif s < 0:
+            acc = acc + jnp.where(col >= -s, pltpu.roll(d, -s, axis=2), 0.0)
+        else:
+            acc = acc + jnp.where(
+                col <= w_real - 1 - s, pltpu.roll(d, w - s, axis=2), 0.0
+            )
     y = acc * scale_ref[:, 0][:, None, None] + shift_ref[:, 0][:, None, None]
     y = jnp.maximum(y, 0.0)
     o_ref[0, :, :, :] = y.astype(o_ref.dtype)
@@ -111,36 +129,37 @@ def fm_conv_bn_relu_cf(xs: jax.Array, w, scale, shift) -> jax.Array:
         left = fm_conv_bn_relu_cf(xs[..., : mid + 8], w, scale, shift)[..., :mid]
         right = fm_conv_bn_relu_cf(xs[..., mid - 8 :], w, scale, shift)[..., 8:]
         return jnp.concatenate([left, right], axis=-1)
-    # stored patch slices need 128-multiple lane extents (Mosaic constraint);
-    # extra zero columns are the conv's own padding semantics, sliced off below.
+    wl = -(-width // 128) * 128  # dot operands need 128-multiple lane extents
     # rows: lead-pad 8 (the dilated conv's halo) and tail-pad so (H + T) rows
-    # split into (H/T + 1) full blocks — tile t's window spans blocks t, t+1
-    wl = -(-width // 128) * 128
-    xp = jnp.pad(xs, ((0, 0), (0, 0), (8, H_TILE - 8), (8, 8 + wl - width)))
+    # split into (H/T + 1) full blocks — tile t's window spans blocks t, t+1;
+    # columns are NOT conv-padded: kx halos are in-kernel rolls+masks, and the
+    # wl - width lane-alignment columns are masked dead weight sliced off below
+    xp = jnp.pad(xs, ((0, 0), (0, 0), (8, H_TILE - 8), (0, wl - width)))
 
-    wk = jnp.zeros((K_PAD, 8), w.dtype)
-    wk = wk.at[:K_TAPS].set(w[0].reshape(K_TAPS, 8))
+    # (9, KY_PAD, 8): leading dim kx, K index ky*3 + cin
+    wk = jnp.zeros((9, KY_PAD, 8), w.dtype)
+    wk = wk.at[:, :KY_TAPS].set(w[0].transpose(1, 0, 2, 3).reshape(9, KY_TAPS, 8))
 
-    row_block = (1, 3, H_TILE, wl + 16)
+    row_block = (1, 3, H_TILE, wl)
     out = pl.pallas_call(
-        _fm_conv_kernel,
+        functools.partial(_fm_conv_kernel, w_real=width),
         out_shape=jax.ShapeDtypeStruct((bn_, 8, h, wl), xs.dtype),
         grid=(bn_, h // H_TILE),
         in_specs=[
             pl.BlockSpec(row_block, lambda i, t: (i, 0, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(row_block, lambda i, t: (i, 0, t + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K_PAD, 8), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, KY_PAD, 8), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 1), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 1), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, H_TILE, wl), lambda i, t: (i, 0, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((3, H_TILE + 16, wl + 16), xs.dtype),
-            pltpu.VMEM((K_PAD, H_TILE, wl), xs.dtype),
+            pltpu.VMEM((3, H_TILE + 16, wl), xs.dtype),
+            pltpu.VMEM((KY_PAD, H_TILE, wl), xs.dtype),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * bn_ * h * width * K_TAPS * 8,
+            flops=2 * bn_ * h * width * KY_TAPS * 9 * 8,
             bytes_accessed=xs.size * xs.dtype.itemsize * 2,
             transcendentals=0,
         ),
@@ -167,46 +186,59 @@ def bn_fused_affine(weight, bias, mean, var, eps: float = 1e-5) -> Tuple[jax.Arr
 RB_H_TILE = 16
 
 
+def _kx3_accum(w_ref, kyp, rows, wd, w_real, prec):
+    """Shared 3-tap kx accumulation for the (3,3) conv kernels (rb2d and the
+    motion-head chain): ``kyp`` (K, rows, W) already holds the ky/ci row
+    shifts, so each kx tap is one dot; tap kx contributes ``d[j + kx - 1]``,
+    realized for kx=0/2 by rolling the dot *output* one lane with wrap-around
+    masked at the true image edges.  The conv input is zero beyond ``w_real``
+    (host mask or pad), so a masked roll IS the conv's zero-pad semantics, and
+    no operand ever needs a non-128-multiple lane extent."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, wd), 1)[None]
+
+    def dotk(kx):
+        return jax.lax.dot_general(
+            w_ref[kx], kyp, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (Cout, rows, W)
+
+    a = dotk(1)
+    a = a + jnp.where(col >= 1, pltpu.roll(dotk(0), 1, axis=2), 0.0)
+    a = a + jnp.where(col <= w_real - 2, pltpu.roll(dotk(2), wd - 1, axis=2), 0.0)
+    return a
+
+
 def _rb2d_kernel(xa_ref, xb_ref, w1_ref, w2_ref, s1_ref, b1_ref, s2_ref, b2_ref,
-                 o_ref, window, patches, patches2, r1, *, c: int, w_real: int,
+                 o_ref, window, kyp1, kyp2, r1, *, c: int, w_real: int,
                  high_precision: bool):
-    """Grid (B*N, tiles).  xa/xb (1, C, RB_H_TILE, W+4): row blocks t and t+1
+    """Grid (B*N, tiles).  xa/xb (1, C, RB_H_TILE, W): row blocks t and t+1
     of the padded slice (rows lead-padded by 2, so the T+4-row window is block
     t plus the first 4 rows of block t+1 — streaming bounds VMEM by the tile,
     not the image, lifting round-1's area cap); o_ref (1, C, RB_H_TILE, W);
-    w1/w2 (9C pad, C); s/b refs = bn1/bn2 fused scale/shift (C, 1);
-    window (C, T+4, W+4); patches (9C pad, T+2, W); patches2 (9C pad, T, W);
-    r1 (C, T+2, W).
+    w1/w2 (3, 3C, C) with leading dim kx and K index ky*C + ci; s/b refs =
+    bn1/bn2 fused scale/shift (C, 1); window (C, T+4, W);
+    kyp1 (3C, T+2, W); kyp2 (3C, T, W); r1 (C, T+2, W).
 
-    Mosaic (as deployed) constraints honored here: static copies only,
-    full-region stores, and every stored slice's lane extent a multiple of
-    128 (W is; W+2 is not — so conv1 runs at width W and conv2's column halo,
-    which is zero by construction, is realized with pltpu.roll + masks).
+    ky-shift-only im2col (round 3): patches hold the 3 ky row shifts only
+    (3C copies vs the old 9C), and the kx column shifts are lane rolls of
+    the per-kx dot *outputs* with wrap-around masked at the true image
+    edges — once per conv instead of once per channel, and with columns
+    never host-padded every dot operand keeps the 128-multiple lane extent
+    Mosaic requires.  Same MACs (K splits 9C -> 3x3C); the per-tile VMEM
+    copy volume drops ~2.5x, which is what bounds these kernels at batch 1.
     """
     wd = o_ref.shape[3]
     t = pl.program_id(1)
-    kpad = patches.shape[0]
     window[:, : RB_H_TILE, :] = xa_ref[0].astype(window.dtype)
     window[:, RB_H_TILE :, :] = xb_ref[0, :, :4, :].astype(window.dtype)
     prec = jax.lax.Precision.HIGHEST if high_precision else None
 
-    # conv1 on (T+2 rows, W cols): rows give conv2 its vertical halo locally
-    if kpad > 9 * c:
-        patches[9 * c :, :, :] = jnp.zeros((kpad - 9 * c, RB_H_TILE + 2, wd), patches.dtype)
-        patches2[9 * c :, :, :] = jnp.zeros((kpad - 9 * c, RB_H_TILE, wd), patches2.dtype)
-    for ci in range(c):
-        for ky in range(3):
-            for kx in range(3):
-                # output row r (local, -1-based) uses window row r+ky; output
-                # col j uses window col j+1+kx  (window origin = orig - 2)
-                patches[ci * 9 + ky * 3 + kx, :, :] = window[
-                    ci, ky : ky + RB_H_TILE + 2, kx + 1 : kx + 1 + wd
-                ]
-    acc = jax.lax.dot_general(
-        w1_ref[:], patches[:], dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
-    )  # (C, T+2, W)
+    # conv1 on (T+2 rows): rows give conv2 its vertical halo locally
+    for ky in range(3):
+        for ci in range(c):
+            kyp1[ky * c + ci, :, :] = window[ci, ky : ky + RB_H_TILE + 2, :]
+
+    acc = _kx3_accum(w1_ref, kyp1[:], RB_H_TILE + 2, wd, w_real, prec)
     y = jnp.maximum(
         acc * s1_ref[:, 0][:, None, None] + b1_ref[:, 0][:, None, None], 0.0
     )
@@ -219,35 +251,27 @@ def _rb2d_kernel(xa_ref, xb_ref, w1_ref, w2_ref, s1_ref, b1_ref, s2_ref, b2_ref,
     ) & (colf < w_real)
     r1[:, :, :] = jnp.where(valid[None], y, 0.0).astype(r1.dtype)
 
-    # conv2 on (T, W); column halo (zeros) via lane roll + edge masks
-    col = jax.lax.broadcasted_iota(jnp.int32, (RB_H_TILE, wd), 1)
-    for ci in range(c):
-        for ky in range(3):
-            v = r1[ci, ky : ky + RB_H_TILE, :]
-            patches2[ci * 9 + ky * 3 + 0, :, :] = jnp.where(
-                col >= 1, pltpu.roll(v, 1, axis=1), 0.0
-            ).astype(patches2.dtype)
-            patches2[ci * 9 + ky * 3 + 1, :, :] = v
-            patches2[ci * 9 + ky * 3 + 2, :, :] = jnp.where(
-                col <= w_real - 2, pltpu.roll(v, wd - 1, axis=1), 0.0
-            ).astype(patches2.dtype)
-    acc2 = jax.lax.dot_general(
-        w2_ref[:], patches2[:],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
-    )  # (C, T, W)
+    # conv2 on (T, W); r1 is zero beyond the true extent, so the kx column
+    # halo is realized by rolling the kx=0/2 dot outputs one lane with
+    # wrap-around masked off at the true edges
+    for ky in range(3):
+        for ci in range(c):
+            kyp2[ky * c + ci, :, :] = r1[ci, ky : ky + RB_H_TILE, :]
+    acc2 = _kx3_accum(w2_ref, kyp2[:], RB_H_TILE, wd, w_real, prec)
     y2 = acc2 * s2_ref[:, 0][:, None, None] + b2_ref[:, 0][:, None, None]
-    center = window[:, 2 : 2 + RB_H_TILE, 2 : 2 + wd].astype(jnp.float32)
+    center = window[:, 2 : 2 + RB_H_TILE, :].astype(jnp.float32)
     o_ref[0, :, :, :] = jnp.maximum(center + y2, 0.0).astype(o_ref.dtype)
 
 
-def _pack_conv33(w: jax.Array, kpad: int, dtype) -> jax.Array:
-    """(1,3,3,C,C) DHWIO → (kpad, C) with K index ci*9 + ky*3 + kx."""
-    c = w.shape[3]
-    wk = jnp.zeros((kpad, c), dtype)
-    flat = w[0].transpose(2, 0, 1, 3).reshape(9 * c, c)  # (ci, ky, kx) -> rows
-    return wk.at[: 9 * c].set(flat.astype(dtype))
+def _pack_conv33_kx(w: jax.Array, dtype, kpad: int = None, cout_pad: int = None) -> jax.Array:
+    """(1,3,3,Cin,Cout) DHWIO → (3, kpad, cout_pad): leading dim kx, K = ky*Cin + ci."""
+    cin, cout = w.shape[3], w.shape[4]
+    # (ky, kx, ci, co) -> (kx, ky, ci, co) -> (kx, ky*ci, co)
+    flat = w[0].transpose(1, 0, 2, 3).reshape(3, 3 * cin, cout)
+    if kpad is None and cout_pad is None:
+        return flat.astype(dtype)
+    wk = jnp.zeros((3, kpad or 3 * cin, cout_pad or cout), dtype)
+    return wk.at[:, : 3 * cin, :cout].set(flat.astype(dtype))
 
 
 def rb2d_residual(x: jax.Array, w1, aff1, w2, aff2) -> jax.Array:
@@ -261,9 +285,11 @@ def rb2d_residual(x: jax.Array, w1, aff1, w2, aff2) -> jax.Array:
     return out.transpose(0, 2, 3, 1).reshape(b, n, h, wd, c)
 
 
-#: widest W each channel count may take in one rb2d pallas_call — the fp32
-#: patch scratches scale as (9C, T+2, W); beyond this, split W with the
-#: two-conv stack's 2-column halo
+#: widest W each channel count may take in one rb2d pallas_call; beyond this,
+#: split W with the two-conv stack's 2-column halo.  Sized for the pre-round-3
+#: (9C, T+2, W) patch scratches; the ky-shift rewrite shrank scratch ~2.5x, so
+#: wider tiles may now fit — re-measure IN-CONTEXT on chip before raising
+#: (the caps also encode Mosaic compile limits, not just VMEM).
 _RB_W_CAP = {8: 384, 16: 384, 32: 256}
 
 
@@ -290,16 +316,16 @@ def rb2d_residual_cf(xs: jax.Array, w1, aff1, w2, aff2) -> jax.Array:
         left = rb2d_residual_cf(xs[..., : mid + 2], w1, aff1, w2, aff2)[..., :mid]
         right = rb2d_residual_cf(xs[..., mid - 2 :], w1, aff1, w2, aff2)[..., 2:]
         return jnp.concatenate([left, right], axis=-1)
-    kpad = -(-9 * c // 8) * 8  # K on sublanes only needs 8-multiples
-    wp = -(-wd // 128) * 128  # stored lane extents must be 128-multiples
+    wp = -(-wd // 128) * 128  # dot operands need 128-multiple lane extents
     # rows: lead-pad 2 (the conv halo) and tail-pad so (H + T) rows split into
-    # (H/T + 1) full blocks — tile t's window is block t + 4 rows of block t+1
-    xp = jnp.pad(xs, ((0, 0), (0, 0), (2, RB_H_TILE - 2), (2, 2 + wp - wd)))
+    # (H/T + 1) full blocks — tile t's window is block t + 4 rows of block t+1;
+    # columns are NOT padded: kx halos are in-kernel rolls+masks
+    xp = jnp.pad(xs, ((0, 0), (0, 0), (2, RB_H_TILE - 2), (0, wp - wd)))
 
     kernel = functools.partial(
         _rb2d_kernel, c=c, w_real=wd, high_precision=(xs.dtype == jnp.float32)
     )
-    row_block = (1, c, RB_H_TILE, wp + 4)
+    row_block = (1, c, RB_H_TILE, wp)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bn_, c, h, wp), xs.dtype),
@@ -307,8 +333,8 @@ def rb2d_residual_cf(xs: jax.Array, w1, aff1, w2, aff2) -> jax.Array:
         in_specs=[
             pl.BlockSpec(row_block, lambda i, t: (i, 0, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(row_block, lambda i, t: (i, 0, t + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kpad, c), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kpad, c), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3 * c, c), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3 * c, c), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 1), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 1), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 1), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
@@ -319,12 +345,12 @@ def rb2d_residual_cf(xs: jax.Array, w1, aff1, w2, aff2) -> jax.Array:
         # fp32 scratches always: bf16's (16, 128) tiling rejects the T+2=18
         # sublane extents that fp32's (8, 128) tolerates
         scratch_shapes=[
-            pltpu.VMEM((c, RB_H_TILE + 4, wp + 4), jnp.float32),
-            pltpu.VMEM((kpad, RB_H_TILE + 2, wp), jnp.float32),
-            pltpu.VMEM((kpad, RB_H_TILE, wp), jnp.float32),
+            pltpu.VMEM((c, RB_H_TILE + 4, wp), jnp.float32),
+            pltpu.VMEM((3 * c, RB_H_TILE + 2, wp), jnp.float32),
+            pltpu.VMEM((3 * c, RB_H_TILE, wp), jnp.float32),
             pltpu.VMEM((c, RB_H_TILE + 2, wp), jnp.float32),
         ],
-    )(xp, xp, _pack_conv33(w1, kpad, jnp.float32), _pack_conv33(w2, kpad, jnp.float32),
+    )(xp, xp, _pack_conv33_kx(w1, jnp.float32), _pack_conv33_kx(w2, jnp.float32),
       aff1[0].reshape(c, 1).astype(jnp.float32), aff1[1].reshape(c, 1).astype(jnp.float32),
       aff2[0].reshape(c, 1).astype(jnp.float32), aff2[1].reshape(c, 1).astype(jnp.float32))
     return out[:, :, :, :wd]
@@ -335,8 +361,8 @@ def rb2d_residual_cf(xs: jax.Array, w1, aff1, w2, aff2) -> jax.Array:
 # stacked (1,3,3) convs — convbn+ReLU x3 then a biased conv to 3 channels —
 # at FULL resolution with 16-18 channels.  XLA lowers each conv separately at
 # ~1% MFU (tiny channel counts); this kernel runs the whole chain per row
-# tile with intermediates in VMEM: conv0 builds an exact patch matrix from
-# the halo'd input window, convs 1-3 take their kx halo from lane rolls
+# tile with intermediates in VMEM: every conv takes its ky halo from row
+# shifts and its kx halo from lane rolls of the per-kx dot outputs
 # (interior chunk edges are discarded via the host splitter's 4-column
 # overlap; true-edge zero-padding is realized by masking each intermediate
 # to the real image extent, which is exactly conv-chain zero-pad semantics).
@@ -347,40 +373,43 @@ MH_H_TILE = 16
 
 def _motion_head_kernel(xa_ref, xb_ref, w0_ref, w1_ref, w2_ref, w3_ref,
                         s0_ref, b0_ref, s1_ref, b1_ref, s2_ref, b2_ref,
-                        bias3_ref, o_ref, window, patches, y0, y1, *,
+                        bias3_ref, o_ref, window, kyp0, kypc, y0, y1, *,
                         cin: int, c: int, w_real: int, h_real: int,
                         high_precision: bool):
-    """Grid (B*N, H tiles).  xa/xb (1, cin, T, W+8): row blocks t and t+1 of
-    the 4-row/4-col lead-padded slice; window (cin, T+8, W+8); conv_k's
+    """Grid (B*N, H tiles).  xa/xb (1, cin, T, W): row blocks t and t+1 of
+    the 4-row lead-padded slice; window (cin, T+8, W); conv_k's
     output rows map to image row ``t*T + r - (3-k)`` and each intermediate
     is masked to the true image extent before feeding the next conv.
-    patches (9*cin pad, T+6, W) is reused by all four dots; y0/y1 (c, ., W)
-    fp32 ping-pong.  o_ref (1, 3, T, W)."""
+    kyp0 (3*cin pad, T+6, W) holds conv0's ky row shifts;
+    kypc (3c, T+4, W) is reused by convs 1-3; y0/y1 (c, ., W) fp32
+    ping-pong.  o_ref (1, 3, T, W).  All weight refs are (3, K, Cout) with
+    leading dim kx and K = ky*Cin + ci.
+
+    ky-shift-only im2col (round 3, same as _fm_conv_kernel/_rb2d_kernel):
+    patches hold row shifts only; the kx column shifts are one lane roll +
+    edge mask per kx dot output (every conv input is zero beyond the true
+    image — host right-pad for conv0, explicit store_masked for convs 1-3 —
+    making roll wrap-around equal to zero-padding).  Columns are never
+    host-padded, so all dot operands keep Mosaic's required 128-multiple
+    lane extents.  Cuts per-tile VMEM copy volume ~2.5x at identical MACs."""
     wd = o_ref.shape[3]
     t = pl.program_id(1)
     trows = o_ref.shape[2]
     prec = jax.lax.Precision.HIGHEST if high_precision else None
-    k0, kc = 9 * cin, 9 * c
-    k0p = patches.shape[0]
+    k0 = 3 * cin
+    k0p = kyp0.shape[0]
 
     window[:, :trows, :] = xa_ref[0].astype(window.dtype)
     window[:, trows:, :] = xb_ref[0, :, :8, :].astype(window.dtype)
 
-    # conv0: exact halos both axes via the patch matrix
+    # conv0: ky shifts from the window; kx via rolls of the dot outputs
     r0 = trows + 6
     if k0p > k0:
-        patches[k0:, :, :] = jnp.zeros((k0p - k0, r0, wd), patches.dtype)
-    for ci in range(cin):
-        for ky in range(3):
-            for kx in range(3):
-                patches[ci * 9 + ky * 3 + kx, :, :] = window[
-                    ci, ky : ky + r0, kx + 3 : kx + 3 + wd
-                ]
-    acc = jax.lax.dot_general(
-        w0_ref[:], patches[:],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )  # (c, r0, W)
+        kyp0[k0:, :, :] = jnp.zeros((k0p - k0, r0, wd), kyp0.dtype)
+    for ky in range(3):
+        for ci in range(cin):
+            kyp0[ky * cin + ci, :, :] = window[ci, ky : ky + r0, :]
+    acc = _kx3_accum(w0_ref, kyp0[:], r0, wd, w_real, prec)
 
     def store_masked(buf, arr, rows, off):
         # zero everything outside the true image: that IS the next conv's
@@ -394,48 +423,30 @@ def _motion_head_kernel(xa_ref, xb_ref, w0_ref, w1_ref, w2_ref, w3_ref,
                     + b0_ref[:, 0][:, None, None], 0.0)
     store_masked(y0, y, r0, 3)
 
-    def roll_conv(src, rows_in, rows_out, w_ref, kdim):
-        colm = jax.lax.broadcasted_iota(jnp.int32, (rows_in, wd), 1)
-        for ci in range(c):
-            v = src[ci, :rows_in, :]
-            vl = jnp.where(colm >= 1, pltpu.roll(v, 1, axis=1), 0.0)
-            vr = jnp.where(colm <= w_real - 2, pltpu.roll(v, wd - 1, axis=1), 0.0)
-            for ky in range(3):
-                patches[ci * 9 + ky * 3 + 0, :rows_out, :] = vl[
-                    ky : ky + rows_out, :].astype(patches.dtype)
-                patches[ci * 9 + ky * 3 + 1, :rows_out, :] = v[
-                    ky : ky + rows_out, :].astype(patches.dtype)
-                patches[ci * 9 + ky * 3 + 2, :rows_out, :] = vr[
-                    ky : ky + rows_out, :].astype(patches.dtype)
-        return jax.lax.dot_general(
-            w_ref[:], patches[:kdim, :rows_out, :],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
+    def ky_conv(src, rows_out, w_ref):
+        # src rows are zero-masked beyond the true image, so the kx column
+        # halo is a roll of the kx=0/2 dot outputs with wrap masked at edges
+        for ky in range(3):
+            for ci in range(c):
+                kypc[ky * c + ci, :rows_out, :] = src[
+                    ci, ky : ky + rows_out, :].astype(kypc.dtype)
+        return _kx3_accum(w_ref, kypc[:, :rows_out, :], rows_out, wd, w_real, prec)
 
     r1 = trows + 4
-    a = roll_conv(y0, r0, r1, w1_ref, kc)
+    a = ky_conv(y0, r1, w1_ref)
     y = jnp.maximum(a * s1_ref[:, 0][:, None, None]
                     + b1_ref[:, 0][:, None, None], 0.0)
     store_masked(y1, y, r1, 2)
 
     r2 = trows + 2
-    a = roll_conv(y1, r1, r2, w2_ref, kc)
+    a = ky_conv(y1, r2, w2_ref)
     y = jnp.maximum(a * s2_ref[:, 0][:, None, None]
                     + b2_ref[:, 0][:, None, None], 0.0)
     store_masked(y0, y, r2, 1)  # ping-pong back into y0
 
-    a = roll_conv(y0, r2, trows, w3_ref, kc)  # (8, T, W), rows 3+ are zero
+    a = ky_conv(y0, trows, w3_ref)  # (8, T, W)
     out3 = a[:3] + bias3_ref[:3, 0][:, None, None]
     o_ref[0, :, :, :] = out3.astype(o_ref.dtype)
-
-
-def _pack_conv33_rect(w: jax.Array, kpad: int, cout_pad: int, dtype) -> jax.Array:
-    """(1,3,3,Cin,Cout) DHWIO → (kpad, cout_pad); K index ci*9 + ky*3 + kx."""
-    cin, cout = w.shape[3], w.shape[4]
-    flat = w[0].transpose(2, 0, 1, 3).reshape(9 * cin, cout)
-    wk = jnp.zeros((kpad, cout_pad), dtype)
-    return wk.at[: 9 * cin, :cout].set(flat.astype(dtype))
 
 
 def motion_head_conv_chain(x, w0, aff0, w1, aff1, w2, aff2, w3, bias3):
@@ -452,7 +463,10 @@ def motion_head_conv_chain(x, w0, aff0, w1, aff1, w2, aff2, w3, bias3):
     return out.transpose(0, 2, 3, 1).reshape(b, n, h, wd, 3)
 
 
-#: widest W chunk per mid-channel count (fp32 patch scratch is (9*cin, T+6, W))
+#: widest W chunk per mid-channel count.  Sized for the pre-round-3
+#: (9*cin, T+6, W) patch scratch; the ky-shift rewrite shrank it 3x, so wider
+#: chunks may fit (fewer splits at the 1088-wide E2E shape) — re-measure
+#: IN-CONTEXT on chip before raising.
 _MH_W_CAP = {16: 256, 32: 128}
 
 
@@ -477,18 +491,18 @@ def motion_head_conv_chain_cf(xs, w0, aff0, w1, aff1, w2, aff2, w3, bias3):
     hp = -(-h // trows) * trows
     wp = -(-wd // 128) * 128
     # rows: lead-pad 4 (chain halo), tail-pad so (Hp + T) rows = (Hp/T + 1)
-    # full blocks; cols: 4 halo each side + lane padding
+    # full blocks; columns are NOT padded — kx halos are in-kernel rolls+masks
     xp = jnp.pad(xs, ((0, 0), (0, 0), (4, trows - 4 + hp - h),
-                      (4, 4 + wp - wd)))
+                      (0, wp - wd)))
 
-    k0p = -(-9 * cin // 8) * 8
-    kc = 9 * c
+    k0p = -(-3 * cin // 8) * 8
+    kc = 3 * c
     f32 = jnp.float32
     kernel = functools.partial(
         _motion_head_kernel, cin=cin, c=c, w_real=wd, h_real=h,
         high_precision=(xs.dtype == jnp.float32),
     )
-    row_block = (1, cin, trows, wp + 8)
+    row_block = (1, cin, trows, wp)
     vec = lambda a: a.reshape(-1, 1).astype(f32)  # noqa: E731
     b3 = jnp.zeros((8, 1), f32).at[:3, 0].set(bias3.astype(f32))
     out = pl.pallas_call(
@@ -498,17 +512,18 @@ def motion_head_conv_chain_cf(xs, w0, aff0, w1, aff1, w2, aff2, w3, bias3):
         in_specs=[
             pl.BlockSpec(row_block, lambda i, t: (i, 0, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(row_block, lambda i, t: (i, 0, t + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k0p, c), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc, c), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc, c), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc, 8), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, k0p, c), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, kc, c), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, kc, c), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, kc, 8), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec((c, 1), lambda i, t: (0, 0), memory_space=pltpu.VMEM)] * 6
           + [pl.BlockSpec((8, 1), lambda i, t: (0, 0), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 3, trows, wp), lambda i, t: (i, 0, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((cin, trows + 8, wp + 8), f32),
+            pltpu.VMEM((cin, trows + 8, wp), f32),
             pltpu.VMEM((k0p, trows + 6, wp), f32),
+            pltpu.VMEM((kc, trows + 4, wp), f32),
             pltpu.VMEM((c, trows + 6, wp), f32),
             pltpu.VMEM((c, trows + 4, wp), f32),
         ],
@@ -518,8 +533,8 @@ def motion_head_conv_chain_cf(xs, w0, aff0, w1, aff1, w2, aff2, w3, bias3):
             transcendentals=0,
         ),
     )(xp, xp,
-      _pack_conv33_rect(w0, k0p, c, f32), _pack_conv33_rect(w1, kc, c, f32),
-      _pack_conv33_rect(w2, kc, c, f32), _pack_conv33_rect(w3, kc, 8, f32),
+      _pack_conv33_kx(w0, f32, kpad=k0p), _pack_conv33_kx(w1, f32),
+      _pack_conv33_kx(w2, f32), _pack_conv33_kx(w3, f32, cout_pad=8),
       vec(aff0[0]), vec(aff0[1]), vec(aff1[0]), vec(aff1[1]),
       vec(aff2[0]), vec(aff2[1]), b3)
     return out[:, :, :h, :wd]
