@@ -52,6 +52,15 @@ def save_jet(path: str, normalized: np.ndarray) -> None:
     imageio.imwrite(path, jet_colormap(normalized), quality=100)
 
 
+def spatial_pallas_default(platform: str, dtype) -> bool:
+    """Measured spatial serving policy (r4, `tools/bench_shapes.py
+    --spatial-model`, ONCHIP_r04.jsonl): per-shard fused Pallas+packed beats
+    per-shard XLA ~1.7x at every sharded big-stack shape (Middlebury half
+    75.65 vs 127.78 ms, E2E half 116.86 vs 156.9 ms), so spatial serving
+    defaults to the same bf16-on-TPU fused policy as single-chip serving."""
+    return platform == "tpu" and dtype == jnp.bfloat16
+
+
 class TimedForward:
     """Jitted eval forward with host-side wall timing (the reference's
     ``AVG_time`` semantics: time around the forward call, `test.py:117-119`).
@@ -63,14 +72,17 @@ class TimedForward:
     ``spatial > 1`` serves each forward over a ``(1, spatial)`` device mesh:
     params replicated, inputs sharded along H, halo exchanges inserted by
     GSPMD (SURVEY §5 spatial-parallel serving; the reference's multi-GPU
-    inference analogue is ``nn.DataParallel``, `test.py:32`).  By default
-    ``spatial > 1`` serves on the XLA path (GSPMD halos); with
-    ``spatial_pallas=True`` the fused chains stay enabled and run per-shard
-    behind one explicit halo exchange (``dffx.ops.halo``)."""
+    inference analogue is ``nn.DataParallel``, `test.py:32`).
+    ``spatial_pallas=None`` (default) mirrors the single-chip serving policy:
+    on TPU in bf16 the fused chains stay enabled and run per-shard behind one
+    explicit halo exchange (``dffx.ops.halo``) — the r4 on-chip A/B measured
+    the per-shard fused path ~1.7x faster than per-shard XLA at every
+    sharded big-stack shape (PARITY.md spatial policy).  ``True`` forces the
+    fused path on TPU in any dtype; ``False`` forces XLA under GSPMD halos."""
 
     def __init__(self, apply_fn, params, *, dtype=jnp.float32, precision=None,
                  use_pallas: Optional[bool] = None, spatial: int = 1,
-                 spatial_pallas: bool = False):
+                 spatial_pallas: Optional[bool] = None):
         self.params = params
         self.total = 0.0
         self.count = 0
@@ -91,15 +103,16 @@ class TimedForward:
             ssh = NamedSharding(mesh, P(None, None, "spatial"))
             rep = NamedSharding(mesh, P())
             self.params = jax.device_put(params, rep)
+            if spatial_pallas is None:
+                spatial_pallas = spatial_pallas_default(devs[0].platform, dtype)
             if spatial_pallas:
-                # opt-in: run the fused chains H-sharded via the one-halo
-                # shard_map wrapper (dffx.ops.halo) instead of forcing XLA.
+                # run the fused chains H-sharded via the one-halo shard_map
+                # wrapper (dffx.ops.halo) instead of forcing XLA.
                 # Needs H % (32*spatial) == 0 — stages fall back to XLA
                 # per-shape otherwise (spatial_ok gates inside the model).
                 self._spatial_mesh = mesh
             else:
-                use_pallas = False  # default policy: XLA under GSPMD halos
-                # (pending the on-chip A/B; see PARITY.md spatial policy)
+                use_pallas = False  # forced/off-policy: XLA under GSPMD halos
 
             def put_one(a):
                 a = jnp.asarray(a)

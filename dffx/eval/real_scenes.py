@@ -32,11 +32,20 @@ def main(argv=None):
                              "devices (params replicated, GSPMD halo "
                              "exchanges) — multi-chip serving for big stacks")
     parser.add_argument("--spatial-pallas", action="store_true",
-                        help="with --spatial: keep the fused Pallas chains, "
-                             "run them per-shard behind one halo exchange "
-                             "(needs H %% (32*spatial) == 0; stages whose "
+                        help="with --spatial: force the fused Pallas chains "
+                             "per-shard behind one halo exchange in any dtype "
+                             "(the bf16 TPU default already does this — the "
+                             "r4 A/B measured it ~1.7x faster than per-shard "
+                             "XLA; needs H %% (32*spatial) == 0, stages whose "
                              "shape doesn't divide fall back to XLA)")
+    parser.add_argument("--spatial-xla", action="store_true",
+                        help="with --spatial: force the XLA path under GSPMD "
+                             "halos instead of the per-shard fused chains")
     args = parser.parse_args(argv)
+    if args.spatial_pallas and args.spatial_xla:
+        parser.error("--spatial-pallas and --spatial-xla are mutually exclusive")
+    spatial_pallas = True if args.spatial_pallas else (
+        False if args.spatial_xla else None)
 
     from dffx.utils.profiling import enable_persistent_cache
 
@@ -53,7 +62,7 @@ def main(argv=None):
         return e2e_apply(p, fs, fd, fovs, ctx)
 
     fwd = TimedForward(apply_fn, params, dtype=dtype, spatial=args.spatial,
-                       spatial_pallas=args.spatial_pallas)
+                       spatial_pallas=spatial_pallas)
     dataset = RealScenesDataset(root=args.data_root)
 
     for idx in range(len(dataset)):

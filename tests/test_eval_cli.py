@@ -224,3 +224,41 @@ def test_spatial_pallas_flag_not_silently_inert(capsys):
     assert fwd._spatial_mesh is None
     assert fwd._use_pallas is False
     assert "--spatial-pallas has no effect off-TPU" in capsys.readouterr().out
+
+
+def test_spatial_pallas_default_policy(capsys):
+    """spatial_pallas=None mirrors the single-chip auto policy (r4 measured:
+    per-shard fused beats per-shard XLA ~1.7x, so bf16-on-TPU => fused) and
+    resolves quietly — the off-TPU warning is reserved for an explicit
+    --spatial-pallas request."""
+    import jax.numpy as jnp
+
+    from dffx.eval.common import TimedForward, spatial_pallas_default
+    from dffx.models import dffnet_apply, init_params, network_specs
+
+    assert spatial_pallas_default("tpu", jnp.bfloat16) is True
+    assert spatial_pallas_default("tpu", jnp.float32) is False
+    assert spatial_pallas_default("cpu", jnp.bfloat16) is False
+
+    params = init_params(network_specs(), seed=0)
+    # CPU platform: auto resolves to the XLA path with no warning
+    fwd = TimedForward(dffnet_apply, params, dtype=jnp.bfloat16, spatial=2)
+    assert fwd._spatial_mesh is None
+    assert fwd._use_pallas is False
+    assert "--spatial-pallas" not in capsys.readouterr().out
+    # explicit False forces XLA in any dtype, also quietly
+    fwd = TimedForward(dffnet_apply, params, dtype=jnp.bfloat16, spatial=2,
+                       spatial_pallas=False)
+    assert fwd._spatial_mesh is None
+    assert fwd._use_pallas is False
+
+
+def test_eval_cli_spatial_flags_mutually_exclusive(capsys):
+    import pytest
+
+    from dffx.eval import test as eval_test
+
+    with pytest.raises(SystemExit):
+        eval_test.main(["--dataset", "DefocusNet", "--spatial", "2",
+                        "--spatial-pallas", "--spatial-xla"])
+    assert "mutually exclusive" in capsys.readouterr().err
