@@ -83,6 +83,53 @@ def _rb_of_apply(p, pfx, x, ctx: Ctx, *, stride: int = 1) -> jax.Array:
     return relu(short + y)
 
 
+def _rb_of_block_params(p, pfx):
+    from dffx.ops.pallas_kernels import bn_fused_affine
+
+    def aff(q):
+        return bn_fused_affine(p[f"{q}.weight"], p[f"{q}.bias"],
+                               p[f"{q}.running_mean"], p[f"{q}.running_var"])
+
+    return (p[f"{pfx}.conv.0.0.weight"], aff(f"{pfx}.conv.0.1"),
+            p[f"{pfx}.conv.2.0.weight"], aff(f"{pfx}.conv.2.1"),
+            p[f"{pfx}.feature.weight"])
+
+
+def _rb_of_stack_apply(p, pfxs, x, ctx: Ctx) -> jax.Array:
+    """Consecutive STRIDE-1 ``resnet_block_2d_OF`` blocks.
+
+    Eval mode on TPU (``ctx.use_pallas``): the whole stack runs as ONE fused
+    Pallas chain (``rb_of_chain``) — the full-res pyramid level (3→8→8 ch at
+    the E2E serving shape) was the largest remaining XLA chunk of the
+    alignment forward (20.8 ms of ~100, round-4 prefix profile).  Under a
+    live spatial mesh the chain runs H-sharded behind one halo exchange
+    (receptive radius = 2 convs/block ≤ HALO), with the XLA twin patching
+    the true-edge rows.
+    """
+    from dffx.ops.halo import halo_sharded_chain, spatial_active, spatial_ok
+
+    def xla_chain(xl, pp):
+        for pfx in pfxs:
+            xl = _rb_of_apply(pp, pfx, xl, ctx)
+        return xl
+
+    if (ctx.use_pallas and not ctx.train and x.shape[2] % 16 == 0
+            and x.shape[3] >= 32):
+        from dffx.ops.pallas_kernels import rb_of_chain
+
+        def chain(xl, pp):
+            return rb_of_chain(xl, tuple(_rb_of_block_params(pp, q) for q in pfxs))
+
+        if spatial_ok(ctx.spatial_mesh, x.shape[2]):
+            return halo_sharded_chain(chain, x, ctx.spatial_mesh, p,
+                                      edge_fn=xla_chain)
+        if not spatial_active(ctx.spatial_mesh):
+            # unsharded fused chain ONLY with no live spatial mesh (an
+            # unwrapped pallas_call on a sharded stack would all-gather)
+            return chain(x, p)
+    return xla_chain(x, p)
+
+
 def _head_specs(s: SpecTable, pfx: str, c: int) -> None:
     """Motion-regression head convN (`End_to_End.py:33-61`): 3x convbn(1,3,3)
     + ReLU, then a biased (1,3,3) conv to 3 channels + adaptive pooling."""
@@ -98,6 +145,11 @@ def _head_apply(p, pfx, volume, ctx: Ctx) -> jax.Array:
     Eval mode on TPU (``ctx.use_pallas``): the full-resolution conv3 head —
     the measured E2E latency tail (ROADMAP item 2) — runs as ONE fused Pallas
     chain (4 convs, intermediates in VMEM) instead of four ~1%-MFU XLA convs.
+    The half-res conv2 head (34→32 ch) stays XLA: the fused chain was
+    measured on chip in round 4 at ~22.5 ms isolated vs XLA's 12.4 ms
+    in-context marginal (c=32 forces 128-wide W chunks and a ~5 min Mosaic
+    compile) — see ROUND4.md.  The quarter-res conv1 head (66→64) stays XLA
+    too: its in-context marginal is ~3 ms.
     """
     from dffx.ops.halo import halo_sharded_chain, spatial_active, spatial_ok
 
@@ -200,9 +252,11 @@ def flownet_apply(
     # reduce to a (B, 10, 3) motion output
     def _pyr(names, stride):
         def f(c, pp, x):
-            return _rb_of_apply(
-                pp, q(names[1]), _rb_of_apply(pp, q(names[0]), x, c, stride=stride), c
-            )
+            if stride == 1:
+                # both blocks stride 1: one fused chain (eval TPU) / XLA pair
+                return _rb_of_stack_apply(pp, [q(names[0]), q(names[1])], x, c)
+            x = _rb_of_apply(pp, q(names[0]), x, c, stride=stride)
+            return _rb_of_stack_apply(pp, [q(names[1])], x, c)
         return f
 
     _pyr1 = _pyr(("OF_feature.0", "OF_feature.1"), 1)

@@ -540,6 +540,212 @@ def motion_head_conv_chain_cf(xs, w0, aff0, w1, aff1, w2, aff2, w3, bias3):
     return out[:, :, :h, :wd]
 
 
+# ---------------------------------------------------------------------------
+# FlowNetwork feature-pyramid chain (`End_to_End/End_to_End.py:135-145`):
+# K consecutive STRIDE-1 ``resnet_block_2d_OF`` blocks —
+#   relu(short_1x1(x) + bn2(conv2(relu(bn1(conv1(x))))))
+# with bias-free convs — fused per row tile with every intermediate in VMEM.
+# XLA runs the full-res pyramid level (3→8→8 ch at 608x1088) at ~1.3 TFLOP/s
+# (M=8 MXU fill + one HBM roundtrip per conv); the fused chain reads the
+# input once and writes the output once.  Same ky-shift im2col scheme as
+# the other (3,3) kernels: patches hold ky row shifts only, kx comes from
+# lane rolls of per-kx dot outputs, true-edge zero-pad realized by masking
+# each intermediate to the real image extent (exact: every op in the block
+# is bias-free, so outside-image values are identically zero).
+# ---------------------------------------------------------------------------
+
+RBOF_H_TILE = 16
+
+
+def _rb_of_kernel(*refs, chans, kpads, w_real: int, h_real: int,
+                  high_precision: bool):
+    """Grid (B*N, H tiles).  refs = xa, xb, then per block
+    (w1, w2, ws, s1, b1, s2, b2), then o_ref, then scratches
+    (window, kyp, y0, ya, yb).
+
+    xa/xb (1, cin0, T, W): row blocks t and t+1 of the R-row lead-padded
+    slice (R = 2*len(chans), the chain's receptive radius).  Weight refs:
+    w1 (3, kpad_k, cout) / w2 (3, 3*cout, cout) with leading dim kx and
+    K = ky*cin + ci; ws (cinp_k, cout) for the 1x1 projection shortcut;
+    s/b = fused BN affines (cout, 1).  window (cinp0, T+2R, W) holds the
+    tile's input rows (channels zero-padded to a sublane multiple for the
+    block-0 shortcut dot); kyp is the shared ky-shift patch scratch; y0 the
+    conv1 intermediate; ya/yb ping-pong the block outputs."""
+    nblk = len(chans)
+    xa_ref, xb_ref = refs[0], refs[1]
+    o_ref = refs[2 + 7 * nblk]
+    window, kyp, y0, ya, yb = refs[3 + 7 * nblk:]
+    trows = o_ref.shape[2]
+    wd = o_ref.shape[3]
+    t = pl.program_id(1)
+    prec = jax.lax.Precision.HIGHEST if high_precision else None
+    r = 2 * nblk
+
+    cin0 = xa_ref.shape[1]
+    cinp0 = window.shape[0]
+    window[:cin0, :trows, :] = xa_ref[0].astype(window.dtype)
+    window[:cin0, trows:, :] = xb_ref[0, :, : 2 * r, :].astype(window.dtype)
+    if cinp0 > cin0:
+        # zero the channel padding: the block-0 shortcut dot contracts over
+        # cinp0 and scratch memory is uninitialized
+        window[cin0:, :, :] = jnp.zeros(
+            (cinp0 - cin0, trows + 2 * r, wd), window.dtype)
+
+    def store_masked(buf, arr, rows, off):
+        # zero everything outside the true image: every op in the block is
+        # bias-free, so that IS the next conv's zero-pad semantics
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, wd), 0) + t * trows - off
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, wd), 1)
+        valid = (row >= 0) & (row < h_real) & (col < w_real)
+        buf[: arr.shape[0], :rows, :] = jnp.where(
+            valid[None], arr, 0.0).astype(buf.dtype)
+
+    src, src_rows, src_off = window, trows + 2 * r, r
+    outbufs = (ya, yb)
+    for k, (cin, cout) in enumerate(chans):
+        w1_ref, w2_ref, ws_ref, s1, b1, s2, b2 = refs[2 + 7 * k : 2 + 7 * (k + 1)]
+        kpad = kpads[k]
+        r1 = src_rows - 2
+        if kpad > 3 * cin:
+            kyp[3 * cin : kpad, :r1, :] = jnp.zeros(
+                (kpad - 3 * cin, r1, wd), kyp.dtype)
+        for ky in range(3):
+            for ci in range(cin):
+                kyp[ky * cin + ci, :r1, :] = src[ci, ky : ky + r1, :]
+        acc = _kx3_accum(w1_ref, kyp[:kpad, :r1, :], r1, wd, w_real, prec)
+        yv = jnp.maximum(
+            acc * s1[:, 0][:, None, None] + b1[:, 0][:, None, None], 0.0)
+        store_masked(y0, yv, r1, src_off - 1)
+
+        r2 = src_rows - 4
+        for ky in range(3):
+            for ci in range(cout):
+                kyp[ky * cout + ci, :r2, :] = y0[ci, ky : ky + r2, :]
+        acc2 = _kx3_accum(w2_ref, kyp[: 3 * cout, :r2, :], r2, wd, w_real, prec)
+        # 1x1 projection shortcut on the src center rows (same extent as
+        # conv2's output); src is zero outside the image, so no masking
+        # is needed before the add
+        ks = ws_ref.shape[0]
+        sv = jax.lax.dot_general(
+            ws_ref[:], src[:ks, 2 : 2 + r2, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        out = jnp.maximum(
+            acc2 * s2[:, 0][:, None, None] + b2[:, 0][:, None, None] + sv, 0.0)
+        if k == nblk - 1:
+            o_ref[0, :, :, :] = out.astype(o_ref.dtype)  # r2 == T here
+        else:
+            buf = outbufs[k % 2]
+            store_masked(buf, out, r2, src_off - 2)
+            src, src_rows, src_off = buf, r2, src_off - 2
+
+
+def rb_of_chain(x: jax.Array, blocks) -> jax.Array:
+    """Fused eval forward of consecutive stride-1 ``resnet_block_2d_OF``s.
+
+    x: (B, N, H, W, cin0).  blocks: tuple of (w1, aff1, w2, aff2, wshort)
+    per block — w1 (1,3,3,cin,cout), w2 (1,3,3,cout,cout), wshort
+    (1,1,1,cin,cout) all bias-free, aff = fp32 (scale, shift) fused-BN pairs.
+    Returns (B, N, H, W, cout_last) in x.dtype.
+    """
+    b, n, h, wd, cin = x.shape
+    xs = x.reshape(b * n, h, wd, cin).transpose(0, 3, 1, 2)
+    out = rb_of_chain_cf(xs, blocks)
+    cout = out.shape[1]
+    return out.transpose(0, 2, 3, 1).reshape(b, n, h, wd, cout)
+
+
+#: widest W chunk per max-channel count; beyond this, split W with the
+#: chain's 2-convs-per-block column halo.  c<=8 fits single-chunk at the
+#: 1088-wide E2E shape (~5 MB VMEM); sweepable via DFFX_RBOF_W_CAP.
+_RBOF_W_CAP = {8: 1152, 16: 640, 32: 384}
+
+
+def rb_of_chain_cf(xs: jax.Array, blocks) -> jax.Array:
+    """Channel-first core: (BN, cin0, H, W) -> (BN, cout_last, H, W)."""
+    bn_, cin0, h, wd = xs.shape
+    chans = tuple((blk[0].shape[3], blk[0].shape[4]) for blk in blocks)
+    for (ci, co), blk in zip(chans, blocks):
+        assert blk[2].shape[3:] == (co, co) and blk[4].shape[3:] == (ci, co)
+    cmax = max(co for _, co in chans)
+    cap = _w_cap(_RBOF_W_CAP, cmax, 384, "DFFX_RBOF_W_CAP")
+    halo = 2 * len(blocks)  # 1 contaminated column per conv per chunk edge
+    mid = max(wd // 2 // 128, 1) * 128
+    # mid + halo < wd: termination guard — a chunk must be strictly narrower
+    # than its parent (same as rb2d/mhead)
+    if wd > cap and mid + halo < wd:
+        left = rb_of_chain_cf(xs[..., : mid + halo], blocks)[..., :mid]
+        right = rb_of_chain_cf(xs[..., mid - halo :], blocks)[..., halo:]
+        return jnp.concatenate([left, right], axis=-1)
+
+    trows = RBOF_H_TILE
+    r = 2 * len(blocks)
+    hp = -(-h // trows) * trows
+    wp = -(-wd // 128) * 128
+    # rows: lead-pad R (chain halo), tail-pad so (Hp + T) rows = (Hp/T + 1)
+    # full blocks; columns are NOT padded — kx halos are in-kernel rolls+masks
+    xp = jnp.pad(xs, ((0, 0), (0, 0), (r, trows - r + hp - h), (0, wp - wd)))
+
+    f32 = jnp.float32
+    cinp0 = -(-cin0 // 8) * 8
+    kpads = tuple(-(-3 * ci // 8) * 8 for ci, _ in chans)
+    vec = lambda a: a.reshape(-1, 1).astype(f32)  # noqa: E731
+
+    operands = [xp, xp]
+    in_specs = [
+        pl.BlockSpec((1, cin0, trows, wp), lambda i, t: (i, 0, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cin0, trows, wp), lambda i, t: (i, 0, t + 1, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for k, ((ci, co), (w1, aff1, w2, aff2, ws)) in enumerate(zip(chans, blocks)):
+        cinp = cinp0 if k == 0 else ci
+        wsp = jnp.zeros((cinp, co), f32).at[:ci].set(
+            ws[0, 0, 0].astype(f32))
+        operands += [
+            _pack_conv33_kx(w1, f32, kpad=kpads[k]), _pack_conv33_kx(w2, f32),
+            wsp, vec(aff1[0]), vec(aff1[1]), vec(aff2[0]), vec(aff2[1]),
+        ]
+        in_specs += [
+            pl.BlockSpec((3, kpads[k], co), lambda i, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3 * co, co), lambda i, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cinp, co), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec((co, 1), lambda i, t: (0, 0),
+                          memory_space=pltpu.VMEM)] * 4
+
+    max_kpad = max(max(kpads), 3 * cmax)
+    kernel = functools.partial(
+        _rb_of_kernel, chans=chans, kpads=kpads, w_real=wd, h_real=h,
+        high_precision=(xs.dtype == jnp.float32),
+    )
+    cout_last = chans[-1][1]
+    macs = sum(9 * ci * co + 9 * co * co + ci * co for ci, co in chans)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bn_, cout_last, hp, wp), xs.dtype),
+        grid=(bn_, hp // trows),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, cout_last, trows, wp), lambda i, t: (i, 0, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((cinp0, trows + 2 * r, wp), f32),
+            pltpu.VMEM((max_kpad, trows + 2 * r - 2, wp), f32),
+            pltpu.VMEM((cmax, trows + 2 * r - 2, wp), f32),
+            pltpu.VMEM((cmax, trows + 2 * r - 4, wp), f32),
+            pltpu.VMEM((cmax, trows + 2 * r - 4, wp), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bn_ * h * wd * macs,
+            bytes_accessed=xs.size * xs.dtype.itemsize * 2,
+            transcendentals=0,
+        ),
+    )(*operands)
+    return out[:, :, :h, :wd]
+
+
 def _srd_attn_kernel(f_ref, wn_ref, w1_ref, o_ref, cat, *, n: int, c: int):
     """Grid (B, tiles).  f_ref/o_ref (1, N*C, T, W); wn (3C pad, C) for the
     (3,1,1) conv (K index dn*C + ci); w1 (C pad, C) for the 1x1; cat

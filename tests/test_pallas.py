@@ -172,15 +172,16 @@ def test_rb2d_downstream_channel_shapes(interpret_pallas, rng, c, h, w, n):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("cin,c", [(18, 16),   # conv3 head (full-res)
+                                   (34, 32)])  # conv2 head (half-res)
 @pytest.mark.parametrize("h,w,n", [(32, 128, 2),   # single chunk, H == one tile pair
                                    (48, 300, 2),   # W-split with 4-col overlap + lane pad
                                    (40, 96, 3)])   # H not a tile multiple (row tail pad)
-def test_motion_head_chain_matches_xla(interpret_pallas, rng, h, w, n):
+def test_motion_head_chain_matches_xla(interpret_pallas, rng, h, w, n, cin, c):
     """The fused 4-conv FlowNetwork motion-head chain must equal the XLA
     conv+BN+ReLU chain exactly (same zero-pad semantics through every conv)."""
     from dffx.ops.pallas_kernels import bn_fused_affine, motion_head_conv_chain
 
-    cin, c = 18, 16
     x = jnp.asarray(rng.uniform(-1, 1, (1, n, h, w, cin)).astype(np.float32))
 
     def mkw(ci, co):
@@ -210,6 +211,52 @@ def test_motion_head_chain_matches_xla(interpret_pallas, rng, h, w, n):
     ref = cbnr(ref, w1, bn1)
     ref = cbnr(ref, w2, bn2)
     ref = conv3d(ref, w3, padding=(0, 1, 1)) + bias3
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4)
+
+
+@pytest.mark.parametrize("chans", [((3, 8), (8, 8)),   # fe1 pair (full-res level)
+                                   ((16, 16),),        # fe2/fe3 stride-1 tail
+                                   ((3, 8), (8, 16))]) # channel growth mid-chain
+@pytest.mark.parametrize("h,w,n", [(32, 128, 2),   # single chunk
+                                   (48, 260, 2),   # W-split via env cap + lane pad
+                                   (40, 96, 3)])   # H not a tile multiple
+def test_rb_of_chain_matches_xla(interpret_pallas, rng, monkeypatch, h, w, n, chans):
+    """The fused stride-1 resnet_block_2d_OF chain must equal the XLA block
+    stack exactly (projection shortcut, zero-pad semantics through every
+    conv, masked true edges)."""
+    from dffx.ops.pallas_kernels import bn_fused_affine, rb_of_chain
+
+    if w > 128:
+        monkeypatch.setenv("DFFX_RBOF_W_CAP", "128")  # force the W splitter
+
+    cin0 = chans[0][0]
+    x = jnp.asarray(rng.uniform(-1, 1, (1, n, h, w, cin0)).astype(np.float32))
+
+    def mkbn(co):
+        g = jnp.asarray(rng.standard_normal(co).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(co).astype(np.float32))
+        mu = jnp.asarray((rng.standard_normal(co) * 0.1).astype(np.float32))
+        va = jnp.asarray((rng.random(co) + 0.5).astype(np.float32))
+        return (g, b, mu, va)
+
+    blocks, bns = [], []
+    for ci, co in chans:
+        w1 = jnp.asarray((rng.standard_normal((1, 3, 3, ci, co)) * 0.2).astype(np.float32))
+        w2 = jnp.asarray((rng.standard_normal((1, 3, 3, co, co)) * 0.2).astype(np.float32))
+        ws = jnp.asarray((rng.standard_normal((1, 1, 1, ci, co)) * 0.2).astype(np.float32))
+        bn1, bn2 = mkbn(co), mkbn(co)
+        blocks.append((w1, bn_fused_affine(*bn1), w2, bn_fused_affine(*bn2), ws))
+        bns.append((bn1, bn2))
+
+    got = rb_of_chain(x, tuple(blocks))
+
+    ref = x
+    for (w1, _, w2, _, ws), (bn1, bn2) in zip(blocks, bns):
+        y = jnp.maximum(
+            batch_norm(conv3d(ref, w1, padding=(0, 1, 1)), *bn1[2:], *bn1[:2]), 0)
+        y = batch_norm(conv3d(y, w2, padding=(0, 1, 1)), *bn2[2:], *bn2[:2])
+        ref = jnp.maximum(conv3d(ref, ws) + y, 0)
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4)
 

@@ -120,9 +120,12 @@ def main() -> int:
             n_checks += 1
 
     # motion-head chain at the E2E serving shapes (full-res conv3 head) —
-    # bundled-scene 608x1088, a half-res variant, and a non-tile-multiple H
-    for n, h, w in [(10, 608, 1088), (10, 304, 544), (4, 200, 352)]:
-        cin, c = 18, 16
+    # bundled-scene 608x1088, a half-res variant, and a non-tile-multiple H.
+    # (No c=32 conv2-head entry: the fused chain at c=32 measured ~22.5 ms
+    # isolated vs XLA's 12.4 ms in-context marginal and a ~5 min Mosaic
+    # compile — rejected in round 4, the serving path keeps XLA there.)
+    for n, h, w, cin, c in [(10, 608, 1088, 18, 16), (10, 304, 544, 18, 16),
+                            (4, 200, 352, 18, 16)]:
         xm = jnp.asarray(rng.uniform(-1, 1, (1, n, h, w, cin)), dt)
         ws = [jnp.asarray(rng.standard_normal((1, 3, 3, ci, co)) * 0.15, dt)
               for ci, co in [(cin, c), (c, c), (c, c), (c, 3)]]
@@ -146,10 +149,10 @@ def main() -> int:
                 return conv3d(y, ws[3], padding=(0, 1, 1)) + bias3
 
             ref = jax.jit(ref_fn)(xm)
-            _check(f"mhead@{h}x{w}", got, ref, tol, failures)
+            _check(f"mhead c{c}@{h}x{w}", got, ref, tol, failures)
         except Exception as e:
-            failures.append(f"mhead@{h}x{w}: {type(e).__name__}: {str(e)[:120]}")
-            print(f"[gate] mhead@{h}x{w}: EXC {type(e).__name__}", file=sys.stderr, flush=True)
+            failures.append(f"mhead c{c}@{h}x{w}: {type(e).__name__}: {str(e)[:120]}")
+            print(f"[gate] mhead c{c}@{h}x{w}: EXC {type(e).__name__}", file=sys.stderr, flush=True)
         n_checks += 1
 
     status = "pass" if not failures else "fail"
