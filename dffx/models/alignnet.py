@@ -113,16 +113,20 @@ def _rb_of_stack_apply(p, pfxs, x, ctx: Ctx) -> jax.Array:
             xl = _rb_of_apply(pp, pfx, xl, ctx)
         return xl
 
-    if (ctx.use_pallas and not ctx.train and x.shape[2] % 16 == 0
-            and x.shape[3] >= 32):
+    # no H-divisibility condition: rb_of_chain pads H to its row tile
+    # internally (gate-covered at the non-multiple 10x152x272 tail shape);
+    # the r4 H%16 gate was an undocumented leftover (ADVICE r4) that kept
+    # the quarter-res fe3 tail on XLA at the 608-high serving shape
+    if ctx.use_pallas and not ctx.train and x.shape[3] >= 32:
         from dffx.ops.pallas_kernels import rb_of_chain
 
         def chain(xl, pp):
             return rb_of_chain(xl, tuple(_rb_of_block_params(pp, q) for q in pfxs))
 
         if spatial_ok(ctx.spatial_mesh, x.shape[2]):
+            # declared bleed: 2 convs per block propagate the fake-row error
             return halo_sharded_chain(chain, x, ctx.spatial_mesh, p,
-                                      edge_fn=xla_chain)
+                                      edge_fn=xla_chain, bleed=2 * len(pfxs))
         if not spatial_active(ctx.spatial_mesh):
             # unsharded fused chain ONLY with no live spatial mesh (an
             # unwrapped pallas_call on a sharded stack would all-gather)
@@ -186,7 +190,7 @@ def _head_apply(p, pfx, volume, ctx: Ctx) -> jax.Array:
             # H-sharded with one halo exchange; the XLA twin patches the
             # true-edge rows (dffx.ops.halo docstring)
             y = halo_sharded_chain(chain, volume, ctx.spatial_mesh, p,
-                                   edge_fn=xla_chain)
+                                   edge_fn=xla_chain, bleed=3)
         else:
             y = chain(volume, p)
     else:

@@ -411,6 +411,9 @@ def fm_module_apply(p, pfx, x, ctx: Ctx) -> jax.Array:
                 return halo_sharded_chain(
                     lambda xl, pp: _fm_fused_chain(pp, pfx, xl, ctx),
                     x, ctx.spatial_mesh, p, edge_fn=xla_chain,
+                    # declared bleed 2: the dilated first conv is linear over
+                    # the fake zero rows, only the rb2d pair propagates
+                    bleed=2,
                 )
         elif (not spatial_active(ctx.spatial_mesh)
               and h % 32 == 0 and _pallas_shape_ok(h, wd)):

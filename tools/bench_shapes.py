@@ -81,11 +81,50 @@ def spatial_model():
         print(json.dumps(row), flush=True)
 
 
+def batch_ladder():
+    """Fused(+packed) vs XLA at serving batch sizes (VERDICT r4 item 2).
+
+    The "XLA wins at batch" policy was measured in r2/r3 with kernels that
+    are now ~1.9x faster (ky-shift, r4).  This re-asks the question at the
+    bench shape 10x384x384 for b in {16, 32, 64, 128}; the winner per batch
+    is what bench.py should run.
+    """
+    enable_persistent_cache()
+    params = init_params(network_specs(), seed=0)
+    rng = np.random.default_rng(0)
+    n, h, w = 10, 384, 384
+    fd_row = np.linspace(0.2, 7.0, n, dtype=np.float32)
+    for b in (16, 32, 64, 128):
+        # build in bf16 directly — a fp32 staging copy at b128 is ~700 MB
+        fs = jnp.asarray(rng.uniform(-1, 1, (b, n, h, w, 3)).astype(np.float16)
+                         ).astype(jnp.bfloat16)
+        fd = jnp.asarray(np.tile(fd_row, (b, 1)))
+        row = {"workload": "bench_batch", "batch": b, "shape": f"{n}x{h}x{w}"}
+        iters = max(2, 64 // b)
+        for key, pallas in [("xla_ms", False), ("pallas_packed_ms", True)]:
+            ctx = Ctx(compute_dtype=jnp.bfloat16, use_pallas=pallas,
+                      use_packed=pallas)
+
+            def fwd(x, p, d):
+                return dffnet_apply(p, x.astype(jnp.bfloat16), d, ctx)
+
+            try:
+                per = device_loop_time(fwd, fs, params, fd, iters=iters)
+                row[key] = round(per * 1e3, 2)
+                row[key.replace("_ms", "_stacks_per_sec")] = round(b / per, 2)
+            except Exception as e:
+                row[key] = f"FAILED {type(e).__name__}"
+        print(json.dumps(row), flush=True)
+
+
 def main():
     import sys
 
     if "--spatial-model" in sys.argv[1:]:
         spatial_model()
+        return
+    if "--batch-ladder" in sys.argv[1:]:
+        batch_ladder()
         return
     enable_persistent_cache()
     params = init_params(network_specs(), seed=0)

@@ -16,7 +16,12 @@ import numpy as np
 
 from dffx.models import Ctx, e2e_network_specs, init_params
 from dffx.models import alignnet
-from dffx.models.alignnet import _head_apply, _motion_volume, _rb_of_apply
+from dffx.models.alignnet import (
+    _head_apply,
+    _motion_volume,
+    _rb_of_apply,
+    _rb_of_stack_apply,
+)
 from dffx.models.dffnet import dffnet_apply
 from dffx.ops import affine_warp_stack
 from dffx.utils.profiling import device_loop_time, enable_persistent_cache
@@ -28,16 +33,21 @@ def stages(p, fs, fovs, fd, ctx, upto: int):
     q = lambda n: f"{PFX}.{n}"  # noqa: E731
     b, n = fs.shape[0], fs.shape[1]
 
-    fe1 = _rb_of_apply(p, q("OF_feature.1"),
-                       _rb_of_apply(p, q("OF_feature.0"), fs, ctx), ctx)
+    # pyramid levels route EXACTLY as flownet_apply._pyr does (ADVICE r4:
+    # under --pallas the stride-1 pairs/tails must hit the fused rb_of_chain
+    # or the profile misattributes stage costs): fused pair at stride 1,
+    # stride block + single-block chain otherwise
+    fe1 = _rb_of_stack_apply(p, [q("OF_feature.0"), q("OF_feature.1")], fs, ctx)
     if upto == 1:
         return fe1
-    fe2 = _rb_of_apply(p, q("OF_feature1.1"),
-                       _rb_of_apply(p, q("OF_feature1.0"), fe1, ctx, stride=2), ctx)
+    fe2 = _rb_of_stack_apply(
+        p, [q("OF_feature1.1")],
+        _rb_of_apply(p, q("OF_feature1.0"), fe1, ctx, stride=2), ctx)
     if upto == 2:
         return fe2
-    fe3 = _rb_of_apply(p, q("OF_feature2.1"),
-                       _rb_of_apply(p, q("OF_feature2.0"), fe2, ctx, stride=2), ctx)
+    fe3 = _rb_of_stack_apply(
+        p, [q("OF_feature2.1")],
+        _rb_of_apply(p, q("OF_feature2.0"), fe2, ctx, stride=2), ctx)
     if upto == 3:
         return fe3
 

@@ -6,6 +6,9 @@ eval shape on the real chip and compares against the XLA path in the same
 dtype.  Run standalone:
 
     python tools/tpu_gate.py            # exits non-zero on any mismatch
+    python tools/tpu_gate.py --smoke    # ~8-check subset, one shape per
+                                        # kernel family (~2 min) — what
+                                        # bench.py runs under its budget
 
 or let bench.py invoke it (reported as the "pallas_gate" field).
 """
@@ -41,7 +44,7 @@ def _check(name, got, ref, tol, failures):
     return ok
 
 
-def main() -> int:
+def main(smoke: bool = False) -> int:
     if jax.devices()[0].platform != "tpu":
         print(json.dumps({"pallas_gate": "skipped", "reason": "not on tpu"}))
         return 0
@@ -52,6 +55,7 @@ def main() -> int:
         fm_conv_bn_relu,
         motion_head_conv_chain,
         rb2d_residual,
+        rb_of_chain,
         srd_attention_residual,
     )
     from dffx.utils.profiling import enable_persistent_cache
@@ -65,7 +69,10 @@ def main() -> int:
     failures: list[str] = []
     n_checks = 0
 
-    for n, h, w in SHAPES:
+    # --smoke: one shape per kernel family so bench.py's in-budget gate
+    # finishes in ~2 min; the full matrix stays the standalone default
+    shapes = [(10, 384, 384)] if smoke else SHAPES
+    for n, h, w in shapes:
         x3 = jnp.asarray(rng.uniform(-1, 1, (1, n, h, w, 3)), dt)
         wk = jnp.asarray(rng.standard_normal((1, 9, 9, 3, 8)) * 0.1, dt)
         g, b = jnp.ones(8), jnp.zeros(8)
@@ -124,8 +131,11 @@ def main() -> int:
     # (No c=32 conv2-head entry: the fused chain at c=32 measured ~22.5 ms
     # isolated vs XLA's 12.4 ms in-context marginal and a ~5 min Mosaic
     # compile — rejected in round 4, the serving path keeps XLA there.)
-    for n, h, w, cin, c in [(10, 608, 1088, 18, 16), (10, 304, 544, 18, 16),
-                            (4, 200, 352, 18, 16)]:
+    mhead_shapes = [(10, 608, 1088, 18, 16), (10, 304, 544, 18, 16),
+                    (4, 200, 352, 18, 16)]
+    if smoke:
+        mhead_shapes = mhead_shapes[1:2]
+    for n, h, w, cin, c in mhead_shapes:
         xm = jnp.asarray(rng.uniform(-1, 1, (1, n, h, w, cin)), dt)
         ws = [jnp.asarray(rng.standard_normal((1, 3, 3, ci, co)) * 0.15, dt)
               for ci, co in [(cin, c), (c, c), (c, c), (c, 3)]]
@@ -155,6 +165,61 @@ def main() -> int:
             print(f"[gate] mhead c{c}@{h}x{w}: EXC {type(e).__name__}", file=sys.stderr, flush=True)
         n_checks += 1
 
+    # rb_of_chain at the E2E serving shapes (ADVICE r4 medium: the fused
+    # pyramid chain became the default serving path with no compiled-numerics
+    # entry).  Configs mirror alignnet._rb_of_stack_apply's real uses: the
+    # full-res 2-block (3->8),(8->8) chain and the half-res single-block
+    # (16->16) tail, plus one fp32 run for dtype coverage.
+    rbof_cfgs = [
+        ("rbof2 3-8-8@608x1088", 10, 608, 1088, [(3, 8), (8, 8)], dt),
+        ("rbof1 16-16@304x544", 10, 304, 544, [(16, 16)], dt),
+        ("rbof1 32-32@152x272", 10, 152, 272, [(32, 32)], dt),  # non-x16 H:
+        # the quarter-res fe3 tail at the 608-high serving shape (the H%16
+        # gate drop, ADVICE r4) — exercises the in-kernel H tail padding
+        ("rbof2 3-8-8@304x544 f32", 10, 304, 544, [(3, 8), (8, 8)], jnp.float32),
+    ]
+    if smoke:
+        rbof_cfgs = [("rbof2 3-8-8@304x544", 10, 304, 544, [(3, 8), (8, 8)], dt)]
+    for name, n, h, w, chans, rdt in rbof_cfgs:
+        xr = jnp.asarray(rng.uniform(-1, 1, (1, n, h, w, chans[0][0])), rdt)
+        blocks, bn_params = [], []
+        for ci, co in chans:
+            w1 = jnp.asarray(rng.standard_normal((1, 3, 3, ci, co)) * 0.15, rdt)
+            w2 = jnp.asarray(rng.standard_normal((1, 3, 3, co, co)) * 0.15, rdt)
+            wsh = jnp.asarray(rng.standard_normal((1, 1, 1, ci, co)) * 0.15, rdt)
+            bns = []
+            for _ in range(2):
+                mu2 = jnp.asarray(rng.standard_normal(co) * 0.1, jnp.float32)
+                va2 = jnp.asarray(rng.random(co) + 0.5, jnp.float32)
+                bns.append((jnp.ones(co), jnp.zeros(co), mu2, va2))
+            bn_params.append(bns)
+            blocks.append((w1, bn_fused_affine(*bns[0]),
+                           w2, bn_fused_affine(*bns[1]), wsh))
+        # like-for-like precision: the kernels run HIGHEST for fp32 inputs,
+        # so the XLA twin must too (at default precision the *reference*
+        # is the bf16-rounded side and the comparison fails spuriously)
+        ref_prec = (jax.lax.Precision.HIGHEST if rdt == jnp.float32 else None)
+        try:
+            got = jax.jit(lambda x: rb_of_chain(x, tuple(blocks)))(xr)
+
+            def ref_fn(x):
+                for (w1, _, w2, _, wsh), bns in zip(blocks, bn_params):
+                    y = jnp.maximum(batch_norm(
+                        conv3d(x, w1, padding=(0, 1, 1), precision=ref_prec),
+                        bns[0][2], bns[0][3], bns[0][0], bns[0][1]), 0)
+                    y = batch_norm(conv3d(y, w2, padding=(0, 1, 1),
+                                          precision=ref_prec),
+                                   bns[1][2], bns[1][3], bns[1][0], bns[1][1])
+                    x = jnp.maximum(conv3d(x, wsh, precision=ref_prec) + y, 0)
+                return x
+
+            ref = jax.jit(ref_fn)(xr)
+            _check(name, got, ref, tol if rdt == dt else 1e-4, failures)
+        except Exception as e:
+            failures.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
+            print(f"[gate] {name}: EXC {type(e).__name__}", file=sys.stderr, flush=True)
+        n_checks += 1
+
     status = "pass" if not failures else "fail"
     print(json.dumps({"pallas_gate": status, "checks": n_checks,
                       "failures": failures}))
@@ -162,4 +227,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main(smoke="--smoke" in sys.argv[1:]))
