@@ -15,11 +15,20 @@ flipped kernel.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 _DIMS = ("NDHWC", "DHWIO", "NDHWC")
+
+#: measurement hook (VERDICT r4 item 3): fold the focus axis into batch for
+#: (1,kh,kw) convs so XLA lowers them as 2D convs.  The alignnet pyramid
+#: measured 2x faster folded (r2) while dffnet at batch 1 measured the
+#: opposite — this env flag exists to re-A/B the dffnet graph at serving
+#: batch.  Opt-in only; not a Ctx policy unless it measures a win.
+_FOLD2D = os.environ.get("DFFX_FOLD2D", "") == "1"
 
 
 def _triple(v) -> tuple:
@@ -49,6 +58,17 @@ def conv3d(
         matching ``nn.Conv3d(padding=p)``.
     """
     pad = [(p, p) for p in _triple(padding)]
+    if (_FOLD2D and w.shape[0] == 1 and _triple(stride)[0] == 1
+            and _triple(dilation)[0] == 1 and pad[0] == (0, 0)):
+        b, n, h, wd, c = x.shape
+        y = lax.conv_general_dilated(
+            x.reshape(b * n, h, wd, c), w[0],
+            window_strides=_triple(stride)[1:], padding=pad[1:],
+            rhs_dilation=_triple(dilation)[1:],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision, preferred_element_type=preferred_element_type,
+        )
+        return y.reshape(b, n, *y.shape[1:])
     return lax.conv_general_dilated(
         x,
         w,
