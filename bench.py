@@ -115,7 +115,7 @@ def bench_dffx(progress=None) -> dict:
     return results
 
 
-def bench_train(b: int = 32, remat=False) -> float:  # remat: False | True | "deep"
+def bench_train(b: int = 32, remat: bool = False) -> float:
     """Train-step throughput (stacks/s) at the reference DDFF recipe crop
     (224^2, N=10, bf16 fwd+bwd+Adam).  Two recorded operating points: b32
     plain (the VERDICT r2 item-1 point, comparable across rounds) and b128

@@ -265,29 +265,12 @@ def flownet_apply(
 
     _pyr1 = _pyr(("OF_feature.0", "OF_feature.1"), 1)
     _pyr2 = _pyr(("OF_feature1.0", "OF_feature1.1"), 2)
-    deep = bool(ctx.remat) and ctx.remat_deep and ctx.train
-    if deep:
-        # deep remat: fe1 (full-res 16ch) and fe2 (1/2-res) are the pyramid's
-        # large residuals — run the pyramid as ONE span to fe3 and let the
-        # conv2/conv3 warp heads recompute their feature level from fs inside
-        # their own checkpoints (bit-identical — same function of the same
-        # inputs; the warp itself is recomputed either way)
-        fe1 = fe2 = None
-        fe3 = ckpt_stage(
-            ctx,
-            lambda c, pp, fs: _pyr(("OF_feature2.0", "OF_feature2.1"), 2)(
-                c, pp, _pyr2(c, pp, _pyr1(c, pp, fs))),
-            p, fs,
-        )
-    else:
-        fe1 = ckpt_stage(ctx, _pyr1, p, fs)
-        fe2 = ckpt_stage(ctx, _pyr2, p, fe1)
-        fe3 = ckpt_stage(ctx, _pyr(("OF_feature2.0", "OF_feature2.1"), 2), p, fe2)
+    fe1 = ckpt_stage(ctx, _pyr1, p, fs)
+    fe2 = ckpt_stage(ctx, _pyr2, p, fe1)
+    fe3 = ckpt_stage(ctx, _pyr(("OF_feature2.0", "OF_feature2.1"), 2), p, fe2)
 
-    def _warp_head(head, recompute=None):
+    def _warp_head(head):
         def f(c, pp, feat, alpha, beta, gamma):
-            if recompute is not None:
-                feat = recompute(c, pp, feat)  # feat arg is fs at deep level
             feat_w, flow = affine_warp_stack(feat, alpha, beta, gamma)
             d = _head_apply(pp, q(head), _motion_volume(feat_w, flow), c)
             return d.at[:, :, 0].multiply(ALPHA_DAMPING)
@@ -296,17 +279,14 @@ def flownet_apply(
     zeros = jnp.zeros((b, n), dtype=jnp.float32)
     motion = ckpt_stage(ctx, _warp_head("conv1"), p, fe3, fovs, zeros, zeros)
 
-    head2 = _warp_head("conv2", recompute=(lambda c, pp, fs: _pyr2(c, pp, _pyr1(c, pp, fs)))
-                       if deep else None)
     delta = ckpt_stage(
-        ctx, head2, p, fs if deep else fe2,
+        ctx, _warp_head("conv2"), p, fe2,
         motion[:, :, 0] + fovs, motion[:, :, 1], motion[:, :, 2]
     )
     motion = motion + delta
 
-    head3 = _warp_head("conv3", recompute=_pyr1 if deep else None)
     delta = ckpt_stage(
-        ctx, head3, p, fs if deep else fe1,
+        ctx, _warp_head("conv3"), p, fe1,
         motion[:, :, 0] + fovs, motion[:, :, 1], motion[:, :, 2]
     )
     motion = motion + delta

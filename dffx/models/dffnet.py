@@ -178,25 +178,6 @@ def network_specs() -> SpecTable:
     return dffnet_specs("DFF_net")
 
 
-def _deep(ctx: Ctx) -> bool:
-    """Deep remat is a train-time memory mode (see Ctx.remat_deep)."""
-    return bool(ctx.remat) and ctx.remat_deep and ctx.train
-
-
-def _recompute_fm(c, pp, q, fs):
-    return fm_module_apply(pp, q("FM_measure"), fs, c)
-
-
-def _half_from_fm(c, pp, q, fm):
-    """FM_conv1 stage (EFD downsample + SRD): the ONE definition shared by the
-    plain stage checkpoint and the deep-remat recompute paths."""
-    return srd_apply(pp, q("FM_conv1.1"), efd_apply(pp, q("FM_conv1.0"), fm, c), c)
-
-
-def _recompute_half(c, pp, q, fs):
-    return _half_from_fm(c, pp, q, _recompute_fm(c, pp, q, fs))
-
-
 def dffnet_apply(
     p: Dict[str, jax.Array],
     fs: jax.Array,
@@ -223,19 +204,16 @@ def dffnet_apply(
     # under ctx.remat the full-resolution stages (FM module, the deconv_3 →
     # dres4 → classif3 tail, the soft-argmax heads) recompute their internals
     # in the backward — see layers.ckpt_stage for the measured rationale.
-    # ctx.remat_deep goes further: fm and half, the two largest checkpoint
-    # residuals (full-res 8ch / half-res 16ch), are never stored — the front
-    # runs as ONE span over fs, and the late consumers (dres3, the dres4
-    # tail) recompute them from fs inside their own checkpoints.  The
-    # recomputed values and the BN new-stats they re-emit are bit-identical
-    # (same function of the same inputs); the extra backward FLOPs buy the
-    # HBM headroom for very large per-chip batches.
-    if _deep(ctx):
-        fm = None  # consumed only inside the front span / deep recomputes
-    else:
-        fm = ckpt_stage(
-            ctx, lambda c, pp, xs: fm_module_apply(pp, q("FM_measure"), xs, c), p, fs
-        )  # 8ch @ 1/1
+    # (A deeper mode that also recomputed the fm/half long-range skips from
+    # fs existed through round 4; it was deleted in round 5 after the ladders
+    # showed it losing on BOTH axes it existed for: slower at every batch
+    # that compiles (113.7 vs 183.0 stacks/s at b128/224²) and a SMALLER
+    # compile envelope at high res (E2E 448×800 b1: selective fits, deep
+    # fails to allocate — its fused front span makes the peak working set
+    # larger, not smaller).  ONCHIP_r05.jsonl e2e_train_ladder.)
+    fm = ckpt_stage(
+        ctx, lambda c, pp, xs: fm_module_apply(pp, q("FM_measure"), xs, c), p, fs
+    )  # 8ch @ 1/1
     if ctx.use_packed and not ctx.train:
         # packed (s2d) downsampling: the strided conv reads the half-res
         # lattice at 4x channels; the maxpool is an exact phase max
@@ -248,23 +226,13 @@ def dffnet_apply(
     else:
 
         def _stage1(c, pp, fm):
-            return _half_from_fm(c, pp, q, fm)
+            return srd_apply(pp, q("FM_conv1.1"), efd_apply(pp, q("FM_conv1.0"), fm, c), c)
 
         def _stage2(c, pp, half):
             return srd_apply(pp, q("FM_conv2.1"), efd_apply(pp, q("FM_conv2.0"), half, c), c)
 
-        if _deep(ctx):
-            # one front span over fs: fm and half never leave the checkpoint,
-            # so the two largest residuals (full-res 8ch, half-res 16ch) are
-            # never stored — the backward recomputes the span internals
-            quad = ckpt_stage(
-                ctx, lambda c, pp, fs: _stage2(c, pp, _recompute_half(c, pp, q, fs)),
-                p, fs,
-            )
-            half = None  # consumed only via the deep recomputes below
-        else:
-            half = ckpt_stage(ctx, _stage1, p, fm)
-            quad = ckpt_stage(ctx, _stage2, p, half)
+        half = ckpt_stage(ctx, _stage1, p, fm)
+        quad = ckpt_stage(ctx, _stage2, p, half)
 
     vol = ckpt_stage(
         ctx, lambda c, pp, x: hourglassup_apply(pp, q("SPP_module"), x, c), p, quad
@@ -300,13 +268,7 @@ def dffnet_apply(
         o, pr = hourglass_apply(pp, q("dres3"), jnp.concatenate([out2, half], -1), pre, out, c)
         return out2, o, pr
 
-    if _deep(ctx):
-        def _dres3_deep(c, pp, out_in, fs, pre, out):
-            return _dres3(c, pp, out_in, _recompute_half(c, pp, q, fs), pre, out)
-
-        out2, out, pre = ckpt_stage(ctx, _dres3_deep, p, out_in, fs, pre, out)
-    else:
-        out2, out, pre = ckpt_stage(ctx, _dres3, p, out_in, half, pre, out)
+    out2, out, pre = ckpt_stage(ctx, _dres3, p, out_in, half, pre, out)
     out_in = out2 + out
     cost2 = apply_conv(p, q("classif2.0"), out_in, ctx)[..., 0]
 
@@ -330,13 +292,7 @@ def dffnet_apply(
             )
             return apply_conv(pp, q("classif3.0"), out2 + o, c)[..., 0]
 
-        if _deep(ctx):
-            def _tail_deep(c, pp, out_in, fs, pre, out):
-                return _tail(c, pp, out_in, _recompute_fm(c, pp, q, fs), pre, out)
-
-            cost3 = ckpt_stage(ctx, _tail_deep, p, out_in, fs, pre, out)
-        else:
-            cost3 = ckpt_stage(ctx, _tail, p, out_in, fm, pre, out)
+        cost3 = ckpt_stage(ctx, _tail, p, out_in, fm, pre, out)
 
     def _head(c, cost, fd):
         return softplus_argmax(upsample_bilinear(cost, (height, width)), fd)

@@ -142,10 +142,9 @@ class Ctx:
     use_pallas: bool = False  # fused TPU kernels for the full-res hot stages (eval)
     use_packed: bool = False  # exact space-to-depth eval of the full-res tail
     remat: bool = False  # recompute full-res stage internals in the backward
-    # 'deep' additionally recomputes the fm / half long-range skips inside
-    # their late consumers (dres3/dres4) instead of storing them across the
-    # forward — frees the two largest boundary tensors for very large batches
-    remat_deep: bool = False
+    # (a deeper remat mode that also recomputed the fm/half long-range skips
+    # was deleted in r5: it measured slower at every batch that compiles AND
+    # shrank the compile envelope at high res — ONCHIP_r05 e2e_train_ladder)
     # serving mesh with a >1 'spatial' axis: run the fused Pallas chains
     # H-sharded via one halo exchange per chain (dffx.ops.halo) instead of
     # forcing the XLA path (GSPMD cannot partition a pallas_call)

@@ -104,9 +104,8 @@ def _with_remat_hint(step_fn, *, remat, batch_size):
                 raise RuntimeError(
                     f"[dffx] train step does not fit in device memory at "
                     f"batch_size={batch_size} without rematerialization — "
-                    "rerun with --remat (or --remat deep for maximum HBM "
-                    "headroom; measured 3.3x throughput at b128 vs b32 "
-                    "plain).  Original error:\n" + msg[:800]
+                    "rerun with --remat (measured 3.3x throughput at b128 "
+                    "vs b32 plain).  Original error:\n" + msg[:800]
                 ) from e
             raise
         ran_once = True
@@ -134,13 +133,14 @@ def main(argv=None):
                              "'sync' (global-batch stats) or 'per_shard' "
                              "(nn.DataParallel-faithful per-replica stats)")
     parser.add_argument("--remat", nargs="?", const="on", default="off",
-                        choices=["on", "deep"],
+                        choices=["on"],
                         help="recompute stage activations in the backward "
                              "(selective jax.checkpoint) — required for "
                              "batch>=48 per chip at the 224^2 crop; measured "
                              "3.3x train throughput at b128 vs b32 plain. "
-                             "'--remat deep' additionally recomputes the "
-                             "fm/half skips from fs (max HBM headroom)")
+                             "(A 'deep' level was deleted in r5: slower at "
+                             "every batch that compiles and a smaller "
+                             "high-res compile envelope, ONCHIP_r05)")
     parser.add_argument("--coordinator", default=None, type=str,
                         help="multi-host: coordinator address host:port "
                              "(or DFFX_COORDINATOR env)")
@@ -203,7 +203,7 @@ def main(argv=None):
             opt_state=jax.tree_util.tree_map(jnp.asarray, blob["opt_state"]),
         )
 
-    remat = {"off": False, "on": True}.get(args.remat, args.remat)
+    remat = args.remat == "on"
     step_fn = make_train_step(args.lr, recipe.loss, e2e=recipe.e2e,
                               bn_mode=args.bn_mode, mesh=mesh,
                               remat=remat)

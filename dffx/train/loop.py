@@ -141,7 +141,7 @@ def make_train_step(
     e2e: bool = False,
     compute_dtype=jnp.float32,
     donate: bool = True,
-    remat=False,  # False | True | "deep"
+    remat: bool = False,
     bn_mode: str = "sync",
     mesh=None,
     debug_grads: bool = False,
@@ -152,7 +152,6 @@ def make_train_step(
     ``fs (B,N,H,W,3)``, ``depth (B,H,W)``, ``focus_dists (B,N)``,
     ``mask (B,H,W)`` and optionally ``conf`` / ``fovs``.
 
-    ``remat`` accepts ``False``, ``True``, or ``"deep"``.
     ``remat=True`` turns on *selective* stage rematerialization
     (``Ctx.remat`` → ``layers.ckpt_stage``): the full-resolution stages — the
     FM module, the deconv_3 → dres4 → classif3 tail, and the four soft-argmax
@@ -163,11 +162,10 @@ def make_train_step(
     remat removes that tax and unlocks larger per-chip batches.  (A
     whole-forward ``jax.checkpoint`` with the dots-saveable policy was
     measured at -23% throughput — conv outputs aren't dots, so it recomputed
-    everything.)  ``remat="deep"`` additionally stops storing the fm/half
-    long-range skips: the front of the network runs as one checkpoint span
-    over fs and dres3/the dres4 tail recompute those skips from fs in their
-    backwards (bit-identical values) — more recompute FLOPs for the HBM
-    headroom that very large per-chip batches need.
+    everything.  A ``"deep"`` mode that additionally recomputed the fm/half
+    long-range skips from fs was deleted in round 5: it was slower at every
+    batch that compiles and its fused front span *shrank* the high-res
+    compile envelope — ONCHIP_r05.jsonl e2e_train_ladder.)
 
     ``bn_mode`` selects the BatchNorm-under-data-parallelism semantics:
 
@@ -189,7 +187,7 @@ def make_train_step(
     def forward(params, fs, batch):
         new_stats: Dict[str, jax.Array] = {}
         ctx = Ctx(train=True, new_stats=new_stats, compute_dtype=compute_dtype,
-                  remat=bool(remat), remat_deep=(remat == "deep"))
+                  remat=bool(remat))
         if e2e:
             outs = e2e_apply(params, fs, batch["focus_dists"], batch["fovs"], ctx)
         else:

@@ -63,29 +63,26 @@ def test_remat_step_matches_plain(batch):
     sa, logs_a = plain(s0, batch)
     # remat only rewires the BACKWARD (what gets stored vs recomputed), so the
     # real assertion is gradient equality — checked through the updated
-    # weights of the params whose grad paths deep mode reroutes (fm / FM_conv1
-    # flow through three recompute sites instead of stored skips)
+    # weights of params whose grad paths cross checkpoint boundaries
     grad_probes = [
         "DFF_net.FM_measure.Focus_extraction.0.0.weight",
         "DFF_net.FM_conv1.0.stride_conv.0.weight",
         "DFF_net.dres4.conv1.0.0.weight",
     ]
-    for mode in (True, "deep"):
-        step = make_train_step(1e-3, LossConfig(), donate=False, remat=mode)
-        sb, logs_b = step(create_train_state(init_params(network_specs(), seed=0),
-                                             lr=1e-3), batch)
-        np.testing.assert_allclose(float(logs_a["loss"]), float(logs_b["loss"]),
-                                   rtol=1e-6, err_msg=f"remat={mode}")
-        for k in grad_probes:
-            np.testing.assert_allclose(
-                np.asarray(sb.params[k]), np.asarray(sa.params[k]),
-                atol=1e-6, err_msg=f"remat={mode}: {k}"
-            )
-        # deep remat re-emits the fm/half BN new-stats from its recomputes —
-        # they must land identical to the plain step's
-        k = "DFF_net.FM_measure.Focus_extraction.0.1.running_mean"
-        np.testing.assert_allclose(np.asarray(sb.params[k]), np.asarray(sa.params[k]),
-                                   rtol=1e-6, err_msg=f"remat={mode}: {k}")
+    step = make_train_step(1e-3, LossConfig(), donate=False, remat=True)
+    sb, logs_b = step(create_train_state(init_params(network_specs(), seed=0),
+                                         lr=1e-3), batch)
+    np.testing.assert_allclose(float(logs_a["loss"]), float(logs_b["loss"]),
+                               rtol=1e-6)
+    for k in grad_probes:
+        np.testing.assert_allclose(
+            np.asarray(sb.params[k]), np.asarray(sa.params[k]),
+            atol=1e-6, err_msg=k
+        )
+    # BN new-stats routed out of the checkpoints must land identical
+    k = "DFF_net.FM_measure.Focus_extraction.0.1.running_mean"
+    np.testing.assert_allclose(np.asarray(sb.params[k]), np.asarray(sa.params[k]),
+                               rtol=1e-6, err_msg=k)
 
 
 def test_e2e_remat_step_matches_plain():
@@ -105,26 +102,25 @@ def test_e2e_remat_step_matches_plain():
     plain = make_train_step(1e-3, LossConfig(), e2e=True, donate=False)
     sa, logs_a = plain(create_train_state(init_params(e2e_network_specs(), seed=0),
                                           lr=1e-3), e2e_batch)
-    # conv3/OF_feature probe the grad paths deep mode reroutes (fe1/fe2 are
-    # recomputed from fs inside the warp heads instead of stored)
+    # conv3/OF_feature probe grad paths that cross the pyramid/warp-head
+    # checkpoint boundaries
     keys = ["optical_flow_aggregation.conv1.6.weight",
             "optical_flow_aggregation.conv3.0.0.weight",
             "optical_flow_aggregation.OF_feature.0.conv.0.0.weight"]
-    for mode in (True, "deep"):
-        remat = make_train_step(1e-3, LossConfig(), e2e=True, donate=False, remat=mode)
-        sb, logs_b = remat(create_train_state(init_params(e2e_network_specs(), seed=0),
-                                              lr=1e-3), e2e_batch)
-        np.testing.assert_allclose(float(logs_a["loss"]), float(logs_b["loss"]),
-                                   rtol=1e-6, err_msg=f"remat={mode}")
-        for key in keys:
-            # checkpoint recomputation reassociates fp32 through the warp /
-            # motion-volume chain (observed: 1 element in ~2.6k off by ~4e-5
-            # even at remat=True).  A dropped gradient path would move many
-            # elements by ~the full Adam update (~lr = 1e-3), so atol=1e-4
-            # still detects broken backwards while tolerating rounding.
-            np.testing.assert_allclose(np.asarray(sb.params[key]),
-                                       np.asarray(sa.params[key]), atol=1e-4,
-                                       err_msg=f"remat={mode}: {key}")
+    remat = make_train_step(1e-3, LossConfig(), e2e=True, donate=False, remat=True)
+    sb, logs_b = remat(create_train_state(init_params(e2e_network_specs(), seed=0),
+                                          lr=1e-3), e2e_batch)
+    np.testing.assert_allclose(float(logs_a["loss"]), float(logs_b["loss"]),
+                               rtol=1e-6)
+    for key in keys:
+        # checkpoint recomputation reassociates fp32 through the warp /
+        # motion-volume chain (observed: 1 element in ~2.6k off by ~4e-5).
+        # A dropped gradient path would move many elements by ~the full Adam
+        # update (~lr = 1e-3), so atol=1e-4 still detects broken backwards
+        # while tolerating rounding.
+        np.testing.assert_allclose(np.asarray(sb.params[key]),
+                                   np.asarray(sa.params[key]), atol=1e-4,
+                                   err_msg=key)
 
 
 def test_e2e_train_step_runs_and_updates_alignment():

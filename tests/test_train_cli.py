@@ -64,14 +64,14 @@ def test_auto_resume_loads_epoch_one(tmp_path, tiny_recipe, capsys):
     assert int(ckpt.load(root + "models/2.ckpt")["step"]) == 2
 
 
-def test_cli_remat_deep_smoke(tmp_path, tiny_recipe):
-    """'--remat deep' must map through the CLI's tri-state flag and train."""
+def test_cli_remat_smoke(tmp_path, tiny_recipe):
+    """Bare '--remat' must map through the CLI's const='on' flag and train."""
     root = str(tmp_path) + "/"
     cli.main([
         "--recipe", "DDFF", "--lr", "1e-4", "--saveroot", root,
         "--batch_size", str(tiny_recipe), "--cpus", "2",
         "--steps-per-epoch", "1", "--max_epoch", "1",
-        "--remat", "deep",
+        "--remat",
     ])
     assert int(ckpt.load(root + "models/1.ckpt")["step"]) == 1
 

@@ -71,22 +71,27 @@ def mfu(batch: int = 128, remat=True, dtype=jnp.bfloat16):
     }), flush=True)
 
 
-def e2e_ladder():
+def e2e_ladder(hw=(608, 1088), points=None):
     """Deep-remat justify-or-delete (VERDICT r4 item 4): full-resolution E2E
     training — the one plausible workload where freeing the long-range skips
     should matter (e2e_apply stores the full-res pyramid skips; at the
     10x608x1088 scene shape one fp32 fs alone is 793 MB).  Rows: selective
-    vs deep remat at the largest batches each mode can compile."""
+    vs deep remat at the largest batches each mode can compile.  Measured
+    r5: at 608x1088 NO point compiles in EITHER mode (tpu_compile_helper
+    exit 1, b1-b4) — pass --hw to bisect the resolution boundary.  At
+    448x800 selective b1 ran (1256.7 ms/step) while deep b1 FAILED to
+    compile — deep's fused front span makes the peak working set larger,
+    not smaller, which is why the mode was deleted (ONCHIP_r05.jsonl);
+    the deep rows here are retired with it."""
     import time
 
     from dffx.models import e2e_network_specs
 
     enable_persistent_cache()
     rng = np.random.default_rng(0)
-    n, h, w = 10, 608, 1088
+    n, (h, w) = 10, hw
     params = init_params(e2e_network_specs(), seed=0)
-    for batch, remat in [(1, True), (1, "deep"), (2, True), (2, "deep"),
-                         (4, True), (4, "deep")]:
+    for batch, remat in points or [(1, True), (2, True), (4, True)]:
         bdata = {
             "fs": jnp.asarray(
                 rng.uniform(-1, 1, (batch, n, h, w, 3)).astype(np.float16)
@@ -102,7 +107,7 @@ def e2e_ladder():
                                compute_dtype=jnp.bfloat16, donate=False,
                                remat=remat)
         state = create_train_state(params, lr=1e-4)
-        row = {"workload": "e2e_train_608x1088", "batch": batch, "remat": remat}
+        row = {"workload": f"e2e_train_{h}x{w}", "batch": batch, "remat": remat}
         try:
             state, logs = step(state, bdata)  # compile
             float(logs["loss"])
@@ -126,7 +131,12 @@ def main():
         mfu()
         return
     if "--e2e-ladder" in sys.argv[1:]:
-        e2e_ladder()
+        argv = sys.argv[1:]
+        hw = (608, 1088)
+        if "--hw" in argv:
+            i = argv.index("--hw")
+            hw = (int(argv[i + 1]), int(argv[i + 2]))
+        e2e_ladder(hw=hw)
         return
     enable_persistent_cache()
     rng = np.random.default_rng(0)
@@ -136,19 +146,14 @@ def main():
     # batch>=64 requires remat=True (b48 plain fails to compile at 16 GiB);
     # measured r3: b32 plain 55 stacks/s, b64+remat 93, b128+remat 182 —
     # stage remat frees the activation HBM that batch-scaling the MXU needs
+    # b128 is the measured batch ceiling (r4: b144/b160 selective fail to
+    # compile, b256 OOMs — the per-stage backward working set, ~980 MB bf16
+    # half-res temps, exceeds 16 GB HBM).  The deep-remat rows that probed
+    # b160-b224 are retired with the mode's r5 deletion: deep was slower at
+    # every batch that compiled AND failed to compile where selective fits.
     for batch, dtype, remat in [(4, jnp.float32, False), (4, jnp.bfloat16, False),
                                 (32, jnp.bfloat16, False), (32, jnp.bfloat16, True),
-                                (64, jnp.bfloat16, True), (128, jnp.bfloat16, True),
-                                (128, jnp.bfloat16, "deep"),
-                                # r3 found step time batch-FLAT b64->b128; r4
-                                # measured b256 deep OOM (the per-stage backward
-                                # working set — ~980 MB bf16 half-res temps —
-                                # exceeds 16 GB HBM even with the skips freed),
-                                # so the ladder probes the b128..b256 gap for
-                                # the real ceiling (VERDICT r3 item 6)
-                                (160, jnp.bfloat16, "deep"),
-                                (192, jnp.bfloat16, "deep"),
-                                (224, jnp.bfloat16, "deep")]:
+                                (64, jnp.bfloat16, True), (128, jnp.bfloat16, True)]:
         bdata = {
             # staged fp16→bf16 (a b256 fp32 staging copy alone is 6 GB)
             "fs": jnp.asarray(

@@ -44,7 +44,7 @@ def main():
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--mode", choices=["components", "prefix"], default="components")
     ap.add_argument("--remat", nargs="?", const="on", default="off",
-                    choices=["on", "deep"])
+                    choices=["on"])
     args = ap.parse_args()
 
     enable_persistent_cache()
@@ -92,7 +92,7 @@ def main():
 
         step = make_train_step(
             1e-4, cfg, compute_dtype=dt, donate=False,
-            remat={"off": False, "on": True}.get(args.remat, args.remat))
+            remat=(args.remat == "on"))
         state = create_train_state(params, lr=1e-4)
 
         def full_step(x, st, d):
