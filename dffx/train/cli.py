@@ -141,6 +141,12 @@ def main(argv=None):
                              "(A 'deep' level was deleted in r5: slower at "
                              "every batch that compiles and a smaller "
                              "high-res compile envelope, ONCHIP_r05)")
+    parser.add_argument("--sanitize", action="store_true",
+                        help="in-graph numerics sanitizer: count NaN/Inf in "
+                             "the gradients every step (one fused reduction, "
+                             "~free) and fail fast with the offending leaf "
+                             "names instead of training on into garbage "
+                             "(dffx.utils.sanitize)")
     parser.add_argument("--coordinator", default=None, type=str,
                         help="multi-host: coordinator address host:port "
                              "(or DFFX_COORDINATOR env)")
@@ -206,7 +212,7 @@ def main(argv=None):
     remat = args.remat == "on"
     step_fn = make_train_step(args.lr, recipe.loss, e2e=recipe.e2e,
                               bn_mode=args.bn_mode, mesh=mesh,
-                              remat=remat)
+                              remat=remat, sanitize=args.sanitize)
     step_fn = _with_remat_hint(step_fn, remat=remat, batch_size=args.batch_size)
     eval_fn = make_eval_fn(e2e=recipe.e2e)
     sharding = batch_sharding(mesh)
@@ -257,6 +263,19 @@ def main(argv=None):
                 k: v for k, v in batch.items() if k in ("fs", "depth", "focus_dists", "mask", "conf", "fovs")
             }
             state, logs = step_fn(state, batch)
+            if args.sanitize:
+                import math
+
+                if not math.isfinite(float(logs["loss"])) or int(logs["nonfinite_grads"]):
+                    from dffx.utils.sanitize import raise_nonfinite
+
+                    raise_nonfinite(
+                        f"non-finite numerics at step {int(state.step)} "
+                        f"(loss={float(logs['loss'])}, "
+                        f"nonfinite grad elements={int(logs['nonfinite_grads'])})",
+                        {"grads": logs["grads"], "batch": batch,
+                         "params": state.params},
+                    )
             sums["total"] += float(logs["loss"])
             sums["mid"] += float(logs["mid_loss"])
             sums["l1"] += float(logs["loss1"])

@@ -145,6 +145,7 @@ def make_train_step(
     bn_mode: str = "sync",
     mesh=None,
     debug_grads: bool = False,
+    sanitize: bool = False,
 ) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the jitted train step.
 
@@ -178,6 +179,12 @@ def make_train_step(
       ``nn.DataParallel`` (`train_code_DDFF.py:62`): per-replica batch stats,
       replica-0 buffer updates, loss over the gathered global outputs.
       Requires every batch leaf to be shardable on axis 0 over the data axis.
+
+    ``sanitize=True`` fuses the in-graph numerics sanitizer into the step:
+    ``logs["nonfinite_grads"]`` counts NaN/Inf elements across the gradient
+    tree (one VPU reduction, ~free against the conv FLOPs; see
+    ``dffx.utils.sanitize``).  The CLI's ``--sanitize`` checks it (and the
+    loss) each step and raises a leaf-naming ``NonFiniteError`` on trigger.
     """
     if bn_mode not in ("sync", "per_shard"):
         raise ValueError(f"bn_mode must be 'sync' or 'per_shard', got {bn_mode!r}")
@@ -245,6 +252,11 @@ def make_train_step(
         grads, new_stats, logs = grads_fn(trainables, stats, batch)
         if debug_grads:
             logs = {**logs, "grads": grads}
+        if sanitize:
+            from dffx.utils.sanitize import nonfinite_count
+
+            logs = {**logs, "nonfinite_grads": nonfinite_count(grads),
+                    "grads": grads}  # kept on device; fetched only on trigger
         grads_full = {k: grads.get(k, jnp.zeros_like(v)) for k, v in state.params.items()}
         opt = _make_optimizer(lr, state.params)
         updates, new_opt_state = opt.update(grads_full, state.opt_state, state.params)
