@@ -28,12 +28,6 @@ from dffx.data import augmentation as aug
 from dffx.data import native
 
 
-def _cv2():
-    import cv2
-
-    return cv2
-
-
 def _pad32(fs: np.ndarray, value: float = -1.0) -> np.ndarray:
     """Pad (N, H, W, 3) on the bottom/right to multiples of 32."""
     _, h, w, _ = fs.shape
@@ -47,7 +41,7 @@ def _pad32(fs: np.ndarray, value: float = -1.0) -> np.ndarray:
 def _read_depth_any(path: str) -> np.ndarray:
     if path.endswith(".exr"):
         return exr.read_depth(path)
-    img = _cv2().imread(path, _cv2().IMREAD_UNCHANGED)
+    img = native.imread_unchanged_compat(path)
     if img is None:
         raise FileNotFoundError(path)
     return np.asarray(img, dtype=np.float32)
@@ -75,14 +69,16 @@ class DefocusNetDataset:
         return len(self.imglist_dpt)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
-        cv2 = _cv2()
         # the reference clamps while the depth is still float16
         # (`test_Dataloader.py:37-38,52`); keep that dtype through the clamps
         depth = exr.read(self.root + self.imglist_dpt[index])["R"]
         # uint8 through the aug; the float64 LUT reproduces the reference's
-        # uint8→float64 numpy-promotion chain bit-for-bit
+        # uint8→float64 numpy-promotion chain bit-for-bit.  The `All.tif`
+        # slices decode through csrc libtiff (native.imread falls back to cv2
+        # for exotic TIFFs).
         imgs = [
-            cv2.imread(self.root + self.imglist_all[index * 5 + i]) for i in range(5)
+            native.imread_compat(self.root + self.imglist_all[index * 5 + i])
+            for i in range(5)
         ]
         stack = np.stack(imgs, axis=-1)  # (H, W, 3, N) BGR uint8
 
@@ -343,13 +339,12 @@ class SmartphoneDataset:
         return len(self.depths)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        cv2 = _cv2()
         my, mx = self.MARGINS
         # uint8 into the augmentation → LUT fast path (bit-identical, no pow)
         imgs = [native.imread_compat(p)[my:-my, mx:-mx] for p in self.stacks[idx]]
         stack = np.stack(imgs, axis=-1)  # (H,W,3,N) uint8
 
-        gt = cv2.imread(self.depths[idx], cv2.IMREAD_UNCHANGED).astype(np.float32)[
+        gt = native.imread_unchanged_compat(self.depths[idx]).astype(np.float32)[
             my:-my, mx:-mx
         ]
         gt = gt / 255.0
@@ -492,7 +487,6 @@ class RealScenesDataset:
         return len(self.dirs)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        cv2 = _cv2()
         path = os.path.join(self.root, self.dirs[idx]) + "/"
         files = sorted(
             f for f in os.listdir(path) if f.endswith(".png") or f.endswith("jpg")

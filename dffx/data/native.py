@@ -40,7 +40,7 @@ def ensure_built(quiet: bool = True) -> bool:
         return False
 
 
-_REQUIRED_VERSION = 3  # bump when csrc adds entry points or changes guards
+_REQUIRED_VERSION = 4  # bump when csrc adds entry points or changes guards
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -85,6 +85,16 @@ def _load() -> Optional[ctypes.CDLL]:
     for name in ("dffxio_jpeg_decode", "dffxio_png_decode"):
         fn = getattr(lib, name)
         fn.argtypes = [u8p, i64, u8p, i64, i64]
+        fn.restype = ctypes.c_int
+    for name in ("dffxio_tiff_info", "dffxio_png_info_unchanged"):
+        fn = getattr(lib, name)
+        fn.argtypes = [u8p, i64, pi64, pi64, pi64]
+        fn.restype = ctypes.c_int
+    lib.dffxio_tiff_decode_bgr.argtypes = [u8p, i64, u8p, i64, i64]
+    lib.dffxio_tiff_decode_bgr.restype = ctypes.c_int
+    for name in ("dffxio_tiff_decode_raw", "dffxio_png_decode_unchanged"):
+        fn = getattr(lib, name)
+        fn.argtypes = [u8p, i64, ctypes.c_void_p, i64, i64, i64]
         fn.restype = ctypes.c_int
     _lib = lib
     return lib
@@ -166,19 +176,46 @@ def _jpeg_exif_orientation(buf: bytes) -> int:
     return 1
 
 
+#: unchanged-decode ``kind`` codes shared with csrc (dtype, channels)
+_KIND = {1: (np.uint8, 1), 2: (np.uint16, 1), 3: (np.float32, 1),
+         4: (np.uint8, 3), 5: (np.uint16, 3)}
+
+
+def _read_buf(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        return np.frombuffer(f.read(), np.uint8)
+
+
+def _is_tiff(head: bytes) -> bool:
+    return head[:4] in (b"II*\x00", b"MM\x00*")
+
+
 def imread(path: str) -> Optional[np.ndarray]:
     """cv2.imread-compatible decode — ``(H, W, 3)`` uint8 **BGR** — through
-    libjpeg/libpng (csrc), without OpenCV.  Returns ``None`` when the native
-    library is unavailable, the file isn't a JPEG/PNG, the JPEG carries a
-    non-identity EXIF orientation (cv2 auto-rotates those), or the PNG has
-    an alpha channel / 16-bit depth (libpng composites/rescales differently
-    from cv2); the fallback in ``imread_compat`` keeps behaviour identical."""
+    libjpeg/libpng/libtiff (csrc), without OpenCV.  Returns ``None`` when the
+    native library is unavailable, the file isn't a JPEG/PNG/TIFF, the JPEG
+    carries a non-identity EXIF orientation (cv2 auto-rotates those), the PNG
+    has an alpha channel / 16-bit depth (libpng composites/rescales
+    differently from cv2), or the TIFF isn't 8-bit gray/RGB (the cases where
+    OpenCV also routes through libtiff's RGBA reader, so values match); the
+    fallback in ``imread_compat`` keeps behaviour identical."""
     lib = _load()
     if lib is None or not hasattr(lib, "dffxio_jpeg_info"):
         return None
-    with open(path, "rb") as f:
-        buf = np.frombuffer(f.read(), np.uint8)
+    buf = _read_buf(path)
     head = buf[:8].tobytes()
+    h = ctypes.c_int64()
+    w = ctypes.c_int64()
+    if _is_tiff(head):
+        # the DefocusNet `All.tif` focal stacks (train_Dataloader.py:84,104)
+        k = ctypes.c_int64()
+        if lib.dffxio_tiff_info(buf, len(buf), ctypes.byref(h), ctypes.byref(w),
+                                ctypes.byref(k)) != 0 or k.value not in (1, 4):
+            return None
+        out = np.empty((h.value, w.value, 3), np.uint8)
+        if lib.dffxio_tiff_decode_bgr(buf, len(buf), out, h.value, w.value) != 0:
+            return None
+        return out
     if head[:2] == b"\xff\xd8":
         if _jpeg_exif_orientation(buf.tobytes()) != 1:
             return None
@@ -187,8 +224,6 @@ def imread(path: str) -> Optional[np.ndarray]:
         info, dec = lib.dffxio_png_info, lib.dffxio_png_decode
     else:
         return None
-    h = ctypes.c_int64()
-    w = ctypes.c_int64()
     if info(buf, len(buf), ctypes.byref(h), ctypes.byref(w)) != 0:
         return None
     out = np.empty((h.value, w.value, 3), np.uint8)
@@ -197,12 +232,53 @@ def imread(path: str) -> Optional[np.ndarray]:
     return out
 
 
+def imread_unchanged(path: str) -> Optional[np.ndarray]:
+    """cv2.imread(..., IMREAD_UNCHANGED)-compatible decode for PNG/TIFF —
+    the reference's raw GT reads (Smartphone merged-depth PNG,
+    `train_Dataloader.py:341`; float/16-bit depth TIFFs).  Grayscale files
+    come back ``(H, W)`` in their native dtype, color as ``(H, W, {3})`` BGR,
+    exactly as cv2 returns them.  ``None`` for anything else (palette, alpha,
+    interlace, exotic layouts) — `imread_unchanged_compat` falls back."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = _read_buf(path)
+    head = buf[:8].tobytes()
+    if _is_tiff(head):
+        info, dec = lib.dffxio_tiff_info, lib.dffxio_tiff_decode_raw
+    elif head == b"\x89PNG\r\n\x1a\n":
+        info, dec = lib.dffxio_png_info_unchanged, lib.dffxio_png_decode_unchanged
+    else:
+        return None
+    h = ctypes.c_int64()
+    w = ctypes.c_int64()
+    k = ctypes.c_int64()
+    if info(buf, len(buf), ctypes.byref(h), ctypes.byref(w), ctypes.byref(k)) != 0:
+        return None
+    dtype, ch = _KIND[k.value]
+    shape = (h.value, w.value) if ch == 1 else (h.value, w.value, ch)
+    out = np.empty(shape, dtype)
+    if dec(buf, len(buf), out.ctypes.data, h.value, w.value, k.value) != 0:
+        return None
+    return out
+
+
 def imread_compat(path: str) -> np.ndarray:
     """``imread`` with a cv2 fallback for formats the native path doesn't
-    cover (TIFF) or when the .so is missing."""
+    cover or when the .so is missing."""
     img = imread(path)
     if img is not None:
         return img
     import cv2
 
     return cv2.imread(path)
+
+
+def imread_unchanged_compat(path: str) -> np.ndarray:
+    """``imread_unchanged`` with a cv2 IMREAD_UNCHANGED fallback."""
+    img = imread_unchanged(path)
+    if img is not None:
+        return img
+    import cv2
+
+    return cv2.imread(path, cv2.IMREAD_UNCHANGED)

@@ -457,6 +457,72 @@ def test_native_imread_punts_alpha_and_16bit_pngs(tmp_path):
     np.testing.assert_array_equal(got, cv2.imread(pg))
 
 
+def test_native_tiff_imread_matches_cv2(tmp_path):
+    """libtiff decode of 8-bit TIFFs must match cv2.imread byte-for-byte —
+    the DefocusNet `All.tif` focal stacks are the loader hot path
+    (`train_Dataloader.py:84,104`)."""
+    import cv2
+
+    from dffx.data import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    p = str(tmp_path / "color.tif")
+    cv2.imwrite(p, img)
+    got = native.imread(p)
+    assert got is not None
+    np.testing.assert_array_equal(got, cv2.imread(p))
+    np.testing.assert_array_equal(got, img)
+
+    pg = str(tmp_path / "gray.tif")
+    cv2.imwrite(pg, rng.integers(0, 256, (48, 64), dtype=np.uint8))
+    got = native.imread(pg)
+    assert got is not None
+    np.testing.assert_array_equal(got, cv2.imread(pg))
+
+
+def test_native_imread_unchanged_matches_cv2(tmp_path):
+    """IMREAD_UNCHANGED semantics (native dtype, gray stays single-channel,
+    color comes back BGR) across the GT formats the reference reads raw:
+    16-bit/8-bit PNG (Smartphone merged depth, `train_Dataloader.py:341`)
+    and float32/16-bit TIFF depth maps."""
+    import cv2
+
+    from dffx.data import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    cases = [
+        ("g16.png", rng.integers(0, 65536, (24, 32), dtype=np.uint16)),
+        ("g8.png", rng.integers(0, 256, (24, 32), dtype=np.uint8)),
+        ("c8.png", rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)),
+        ("c16.png", rng.integers(0, 65536, (24, 32, 3), dtype=np.uint16)),
+        ("g16.tif", rng.integers(0, 65536, (24, 32), dtype=np.uint16)),
+        ("f32.tif", rng.standard_normal((24, 32)).astype(np.float32) * 50),
+        ("c8.tif", rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)),
+    ]
+    for name, img in cases:
+        p = str(tmp_path / name)
+        assert cv2.imwrite(p, img)
+        got = native.imread_unchanged(p)
+        ref = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+        assert got is not None, name
+        assert got.dtype == ref.dtype and got.shape == ref.shape, name
+        np.testing.assert_array_equal(got, ref, err_msg=name)
+
+    # alpha PNG: unsupported natively -> None, and the compat wrapper keeps
+    # parity through the cv2 fallback
+    pa = str(tmp_path / "rgba.png")
+    cv2.imwrite(pa, rng.integers(0, 256, (24, 32, 4), dtype=np.uint8))
+    assert native.imread_unchanged(pa) is None
+    np.testing.assert_array_equal(
+        native.imread_unchanged_compat(pa), cv2.imread(pa, cv2.IMREAD_UNCHANGED)
+    )
+
+
 def test_device_prefetch_propagates_loader_errors():
     """A decode error mid-epoch must raise, not silently truncate the epoch
     (the prefetch producer runs in a daemon thread)."""
