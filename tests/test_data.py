@@ -523,6 +523,31 @@ def test_native_imread_unchanged_matches_cv2(tmp_path):
     )
 
 
+def test_loaders_run_without_cv2(fs6_dir, tmp_path, monkeypatch):
+    """The reference-format hot paths must be fully native: with cv2 made
+    unimportable, the TIFF focal-stack loader (DefocusNet `All.tif`) and the
+    raw-PNG GT read still work through csrc."""
+    import sys
+
+    import cv2  # fixtures are written first, while cv2 is still importable
+
+    from dffx.data import native
+    from dffx.data.datasets import _read_depth_any
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    p16 = str(tmp_path / "d16.png")
+    cv2.imwrite(
+        p16, np.random.default_rng(5).integers(0, 65536, (32, 32), dtype=np.uint16)
+    )
+    monkeypatch.setitem(sys.modules, "cv2", None)  # import cv2 now raises
+    ds = DefocusNetDataset(root=fs6_dir, mode="test")
+    s = ds[0]
+    assert s["fs"].shape == (5, 256, 256, 3) and np.isfinite(s["fs"]).all()
+    d = _read_depth_any(p16)
+    assert d.dtype == np.float32 and d.shape == (32, 32)
+
+
 def test_device_prefetch_propagates_loader_errors():
     """A decode error mid-epoch must raise, not silently truncate the epoch
     (the prefetch producer runs in a daemon thread)."""
