@@ -24,7 +24,7 @@ from dffx.utils.profiling import enable_persistent_cache
 V5E_PEAK_TFLOPS = 197.0
 
 
-def mfu(batch: int = 128, remat=True, dtype=jnp.bfloat16):
+def mfu(batch: int = 128, remat=True, dtype=jnp.bfloat16, donate=False):
     """Train-side utilization accounting at the record operating point
     (VERDICT r4 item 6: eval has an MFU figure, train had none).  FLOPs come
     from XLA's own cost analysis of the compiled step; the wall clock is the
@@ -45,7 +45,7 @@ def mfu(batch: int = 128, remat=True, dtype=jnp.bfloat16):
         "mask": jnp.ones((batch, h, w), bool),
     }
     step = make_train_step(1e-4, LossConfig(), compute_dtype=dtype,
-                           donate=False, remat=remat)
+                           donate=donate, remat=remat)
     state = create_train_state(params, lr=1e-4)
     compiled = step.lower(state, bdata).compile()
     cost = compiled.cost_analysis()
@@ -61,7 +61,8 @@ def mfu(batch: int = 128, remat=True, dtype=jnp.bfloat16):
     per = (time.perf_counter() - t0) / iters
     tflops = flops / per / 1e12
     print(json.dumps({
-        "batch": batch, "remat": remat, "ms_per_step": round(per * 1e3, 1),
+        "batch": batch, "remat": remat, "donate": donate,
+        "ms_per_step": round(per * 1e3, 1),
         "stacks_per_sec": round(batch / per, 2),
         "step_tflop": round(flops / 1e12, 2),
         "tflops_per_sec": round(tflops, 2),
@@ -129,6 +130,13 @@ def main():
 
     if "--mfu" in sys.argv[1:]:
         mfu()
+        return
+    if "--donate-ab" in sys.argv[1:]:
+        # VERDICT r4 item 6's "one measured lever": the recorded MFU point ran
+        # donate=False, but the production CLI trains with donate=True
+        # (loop.py default) — A/B both at the b128 record point.
+        mfu(donate=False)
+        mfu(donate=True)
         return
     if "--e2e-ladder" in sys.argv[1:]:
         argv = sys.argv[1:]
