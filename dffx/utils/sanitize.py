@@ -11,8 +11,10 @@ user, designed around XLA's execution model:
   ``logs["nonfinite_grads"]``).  The alternative — ``jax.config
   jax_debug_nans`` — recompiles every op un-donated and checks after each
   dispatch, which serializes the pipelined step and breaks buffer donation;
-  a fused count costs one VPU pass over the gradient tree (~µs against a
-  700 ms step) and may be left on for entire runs.
+  a fused count costs one VPU pass over the gradient tree and may be left
+  on for entire runs — measured free at the b128 record point (`tools/
+  bench_train.py --sanitize-ab`, ONCHIP_r05.jsonl: 701.9 vs 707.6 ms/step,
+  inside run-to-run noise; identical 22.14 TFLOP, +0.15% bytes accessed).
 * **Diagnosis is lazy**: only a *triggered* failure pays for the per-leaf
   host walk that names which tensors went bad (`finite_report`).
 * **Race detection is differential**: the threaded ``Loader`` must be

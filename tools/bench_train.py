@@ -24,7 +24,8 @@ from dffx.utils.profiling import enable_persistent_cache
 V5E_PEAK_TFLOPS = 197.0
 
 
-def mfu(batch: int = 128, remat=True, dtype=jnp.bfloat16, donate=False):
+def mfu(batch: int = 128, remat=True, dtype=jnp.bfloat16, donate=False,
+        sanitize=False):
     """Train-side utilization accounting at the record operating point
     (VERDICT r4 item 6: eval has an MFU figure, train had none).  FLOPs come
     from XLA's own cost analysis of the compiled step; the wall clock is the
@@ -45,7 +46,7 @@ def mfu(batch: int = 128, remat=True, dtype=jnp.bfloat16, donate=False):
         "mask": jnp.ones((batch, h, w), bool),
     }
     step = make_train_step(1e-4, LossConfig(), compute_dtype=dtype,
-                           donate=donate, remat=remat)
+                           donate=donate, remat=remat, sanitize=sanitize)
     state = create_train_state(params, lr=1e-4)
     compiled = step.lower(state, bdata).compile()
     cost = compiled.cost_analysis()
@@ -61,7 +62,7 @@ def mfu(batch: int = 128, remat=True, dtype=jnp.bfloat16, donate=False):
     per = (time.perf_counter() - t0) / iters
     tflops = flops / per / 1e12
     print(json.dumps({
-        "batch": batch, "remat": remat, "donate": donate,
+        "batch": batch, "remat": remat, "donate": donate, "sanitize": sanitize,
         "ms_per_step": round(per * 1e3, 1),
         "stacks_per_sec": round(batch / per, 2),
         "step_tflop": round(flops / 1e12, 2),
@@ -130,6 +131,16 @@ def main():
 
     if "--mfu" in sys.argv[1:]:
         mfu()
+        return
+    if "--sanitize-ab" in sys.argv[1:]:
+        # dffx.utils.sanitize claims the in-graph NaN/Inf grad counter is
+        # "~free against a ~700 ms step" — measure it at the b128 record
+        # point with the production config (donate=True, the CLI default).
+        # sanitize=True also keeps the grad tree in logs (fetched lazily on
+        # trigger only), so this A/B prices the whole --sanitize flag, not
+        # just the reduction.
+        mfu(donate=True, sanitize=False)
+        mfu(donate=True, sanitize=True)
         return
     if "--donate-ab" in sys.argv[1:]:
         # VERDICT r4 item 6's "one measured lever": the recorded MFU point ran
